@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: 8192-way Monte-Carlo batched rlc.cir transient.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "timesteps/sec", "vs_baseline": N}
+
+Baseline (BASELINE.json north star): >= 1e6 aggregate accepted timesteps/sec
+on one TPU v5e chip.  Every instance runs the full reference-compat adaptive
+transient (OP warm-up, per-step Newton, LTE step control) with its own
+perturbed R/L/C values, so per-instance dt trajectories genuinely diverge —
+this is not a lockstep-identical rerun.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+import toyspice_tpu  # noqa: F401  (enables x64)
+from toyspice_tpu.compiler import compile_circuit
+from toyspice_tpu.netlist.parser import parse
+from toyspice_tpu.engine.batch import batch_params
+from toyspice_tpu.engine.state import init_state
+from toyspice_tpu.engine.tran import build_config, make_tran
+
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+BASELINE = 1e6  # aggregate timesteps/sec north star
+
+RLC = """* RLC Test
+.tran 0.01m 2ms
+Vin 1 0 SIN(0 5 1k)
+R1 1 2 100
+L1 2 3 1m
+C1 3 0 1u
+"""
+
+
+def main():
+    cc = compile_circuit(parse(RLC))
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic)
+
+    rng = np.random.default_rng(0)
+
+    def perturb(base, spread=0.1):
+        return base[None, :] * np.exp(
+            rng.normal(0.0, spread, size=(BATCH, base.shape[0]))
+        )
+
+    overrides = {
+        "R": {"value": perturb(np.asarray(cc.params["R"]["value"]))},
+        "L": {"value": perturb(np.asarray(cc.params["L"]["value"]))},
+        "C": {"value": perturb(np.asarray(cc.params["C"]["value"]))},
+    }
+    params, axes = batch_params(cc, overrides)
+    state0 = init_state(cc)
+
+    tran = make_tran(cc, cfg, store="none")
+    fn = jax.jit(jax.vmap(tran, in_axes=(axes, None)))
+
+    # compile + warm up
+    out = fn(params, state0)
+    jax.block_until_ready(out.accepted)
+
+    t0 = time.perf_counter()
+    out = fn(params, state0)
+    jax.block_until_ready(out.accepted)
+    wall = time.perf_counter() - t0
+
+    total_steps = int(np.sum(np.asarray(out.accepted)))
+    fails = int(np.sum(np.asarray(out.fail)))
+    rate = total_steps / wall
+
+    result = {
+        "metric": f"aggregate transient timesteps/sec, {BATCH}-way Monte-Carlo rlc.cir"
+                  f" (compat semantics, f64, {fails} failed instances)",
+        "value": rate,
+        "unit": "timesteps/sec",
+        "vs_baseline": rate / BASELINE,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Command-line entry point: ``python -m toyspice_tpu <netlist.cir>``.
+
+Mirrors the reference CLI's result tables (cmd/spice/main.go:17-185): AC,
+DC-sweep, operating-point and transient formats with the same engineering
+notation and column conventions.
+"""
+
+import argparse
+import sys
+
+from .engine import run_analysis
+from .utils.formatter import (
+    format_frequency,
+    format_magnitude,
+    format_phase,
+    format_value_factor,
+)
+
+
+def print_results(results, out=sys.stdout):
+    w = out.write
+    w("\nAnalysis Results:\n")
+    w("================\n")
+
+    # AC
+    if "FREQ" in results:
+        freqs = results["FREQ"]
+        w(f"\nAC Analysis Results ({len(freqs)} frequency points):\n")
+        w("Frequency      Node Voltages (Magnitude/Phase)        "
+          "Branch Currents (Magnitude/Phase)\n")
+        w("-" * 77 + "\n")
+        vnames = sorted(
+            n[: -len("_MAG")] for n in results
+            if n.endswith("_MAG") and n.startswith("V(")
+        )
+        inames = sorted(
+            n[: -len("_MAG")] for n in results
+            if n.endswith("_MAG") and n.startswith("I(")
+        )
+        for i, f in enumerate(freqs):
+            w(f"{format_frequency(f):<13s}")
+            for name in vnames + inames:
+                mag = format_magnitude(results[name + "_MAG"][i])
+                ph = format_phase(results[name + "_PHASE"][i])
+                w(f"{name}={mag}<{ph}deg  ")
+            w("\n")
+        return
+
+    # DC sweep
+    if "SWEEP1" in results:
+        sweep1 = results["SWEEP1"]
+        w(f"\nDC Sweep Analysis Results ({len(sweep1)} points):\n")
+        w("Sweep Values    Node Voltages        Branch Currents\n")
+        w("-" * 48 + "\n")
+        vnames = sorted(n for n in results if n.startswith("V("))
+        inames = sorted(n for n in results if n.startswith("I("))
+        nested = "SWEEP2" in results
+        for i in range(len(sweep1)):
+            if nested:
+                w(f"V1={format_value_factor(sweep1[i], 'V'):<9s} "
+                  f"V2={format_value_factor(results['SWEEP2'][i], 'V'):<9s}  ")
+            else:
+                w(f"V={format_value_factor(sweep1[i], 'V'):<9s}  ")
+            for name in vnames:
+                w(f"{name}={format_value_factor(results[name][i], 'V')}  ")
+            for name in inames:
+                w(f"{name}={format_value_factor(results[name][i], 'A')}  ")
+            w("\n")
+        return
+
+    # operating point
+    if len(results.get("TIME", [])) <= 1:
+        vnames = sorted(n for n in results if n.startswith("V("))
+        inames = sorted(n for n in results if n.startswith("I("))
+        w("\nNode Voltages:\n")
+        for name in vnames:
+            w(f"{name} = {format_value_factor(results[name][0], 'V')}\n")
+        w("\nBranch Currents:\n")
+        for name in inames:
+            w(f"{name} = {format_value_factor(results[name][0], 'A')}\n")
+        return
+
+    # transient
+    times = results["TIME"]
+    w(f"\nTransient Analysis Results ({len(times)} time points):\n")
+    w("Time        Node Voltages        Branch Currents\n")
+    w("-" * 48 + "\n")
+    vnames = sorted(n for n in results if n.startswith("V("))
+    inames = sorted(n for n in results if n.startswith("I("))
+    for i, t in enumerate(times):
+        w(f"{format_value_factor(t, 's'):>9s}  ")
+        for name in vnames:
+            w(f"{name}={format_value_factor(results[name][i], 'V')}  ")
+        for name in inames:
+            w(f"{name}={format_value_factor(results[name][i], 'A')}  ")
+        w("\n")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="tspice",
+        description="TPU-native SPICE circuit simulator "
+                    "(toy-spice capabilities, JAX/XLA engine)",
+    )
+    parser.add_argument("netlist", help="netlist file (.cir)")
+    args = parser.parse_args(argv)
+
+    try:
+        with open(args.netlist) as f:
+            text = f.read()
+    except OSError as e:
+        print(f"Error reading netlist file: {e}", file=sys.stderr)
+        return 1
+
+    try:
+        results = run_analysis(text)
+    except Exception as e:
+        print(f"Analysis failed: {e}", file=sys.stderr)
+        return 1
+
+    print_results(results)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

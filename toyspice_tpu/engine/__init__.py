@@ -1,0 +1,155 @@
+"""Analysis drivers: parse -> compile -> jitted engine -> Results.
+
+Top-level convenience API mirroring the reference CLI pipeline
+(cmd/spice/main.go:187-362): ``run_analysis`` dispatches on the netlist's
+dot-card; the ``run_op/run_transient/run_ac/run_dc`` functions run a specific
+analysis.
+"""
+
+import os
+from typing import Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..compiler import CompiledCircuit, compile_circuit
+from ..netlist.data import AnalysisType, NetlistData
+from ..netlist.parser import parse
+from . import results as results_mod
+from .ac import frequency_points, make_ac
+from .dc import make_dc, sweep_values
+from .op import make_op
+from .state import init_state
+from .tran import build_config, make_tran
+from .results import Results
+
+
+def _to_compiled(src: Union[str, NetlistData, CompiledCircuit]) -> CompiledCircuit:
+    if isinstance(src, CompiledCircuit):
+        return src
+    if isinstance(src, NetlistData):
+        return compile_circuit(src)
+    text = src
+    if "\n" not in src and os.path.exists(src):
+        with open(src) as f:
+            text = f.read()
+    return compile_circuit(parse(text))
+
+
+def _params(cc) -> dict:
+    return {
+        kind: {k: jnp.asarray(v) for k, v in tbl.items()}
+        for kind, tbl in cc.params.items()
+    }
+
+
+def _engine_cache(cc) -> dict:
+    """Per-circuit cache of jitted engines (compiles are expensive; repeated
+    run_* calls on the same CompiledCircuit must not re-trace)."""
+    cache = getattr(cc, "_engines", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(cc, "_engines", cache)
+    return cache
+
+
+def run_op(src) -> Results:
+    cc = _to_compiled(src)
+    cache = _engine_cache(cc)
+    if "op" not in cache:
+        op_execute, _ = make_op(cc)
+        cache["op"] = jax.jit(op_execute)
+    params = _params(cc)
+    state = init_state(cc)
+    r = cache["op"](params, state)
+    if not bool(r.converged):
+        raise RuntimeError("operating point failed to converge")
+    return results_mod.from_op(cc, r.x)
+
+
+def run_transient(src, tstart=None, tstop=None, tstep=None, tmax=None, uic=None,
+                  semantics: str = "compat") -> Results:
+    cc = _to_compiled(src)
+    tp = cc.netlist.tran
+    cfg = build_config(
+        tstart if tstart is not None else tp.tstart,
+        tstop if tstop is not None else tp.tstop,
+        tstep if tstep is not None else tp.tstep,
+        tmax if tmax is not None else tp.tmax,
+        uic if uic is not None else tp.uic,
+    )
+    cache = _engine_cache(cc)
+    key = ("tran", cfg, semantics)
+    if key not in cache:
+        cache[key] = jax.jit(make_tran(cc, cfg, semantics=semantics, store="full"))
+    params = _params(cc)
+    state = init_state(cc)
+    out = cache[key](params, state)
+    if bool(out.fail):
+        raise RuntimeError("transient failed to converge at minimum timestep")
+    return results_mod.from_tran(cc, out.out_t, out.out_x, out.out_n)
+
+
+def run_ac(src, sweep=None, fstart=None, fstop=None, points=None) -> Results:
+    cc = _to_compiled(src)
+    ap = cc.netlist.ac
+    freqs = frequency_points(
+        sweep or ap.sweep,
+        fstart if fstart is not None else ap.fstart,
+        fstop if fstop is not None else ap.fstop,
+        points if points is not None else ap.points,
+    )
+    ac_execute = make_ac(cc)
+    params = _params(cc)
+    state = init_state(cc)
+    xr, xi, opr = jax.jit(ac_execute)(params, state, jnp.asarray(freqs))
+    if not bool(opr.converged):
+        raise RuntimeError("AC bias point failed to converge")
+    return results_mod.from_ac(cc, freqs, xr, xi)
+
+
+def run_dc(src, sources=None, starts=None, stops=None, increments=None) -> Results:
+    cc = _to_compiled(src)
+    dp = cc.netlist.dc
+    if sources is None:
+        sources = [dp.source1] + ([dp.source2] if dp.source2 else [])
+        starts = [dp.start1] + ([dp.start2] if dp.source2 else [])
+        stops = [dp.stop1] + ([dp.stop2] if dp.source2 else [])
+        increments = [dp.increment1] + ([dp.increment2] if dp.source2 else [])
+
+    slots = []
+    for s in sources:
+        if s not in cc.names["V"]:
+            raise RuntimeError(f"source {s} not found")
+        slots.append(cc.names["V"].index(s))
+
+    sweeps = [sweep_values(a, b, c) for a, b, c in zip(starts, stops, increments)]
+    nested = len(sources) == 2
+    if nested:
+        pts = np.array([(v1, v2) for v1 in sweeps[0] for v2 in sweeps[1]],
+                       dtype=np.float64)
+    else:
+        pts = np.asarray(sweeps[0], dtype=np.float64)
+
+    dc_execute = make_dc(cc, tuple(slots))
+    params = _params(cc)
+    state = init_state(cc)
+    xs, conv = jax.jit(dc_execute)(params, state, jnp.asarray(pts))
+    if not bool(jnp.all(conv)):
+        bad = int(jnp.argmin(conv))
+        raise RuntimeError(f"DC sweep failed to converge at point {bad}")
+    return results_mod.from_dc(cc, pts, xs, nested=nested)
+
+
+def run_analysis(src) -> Results:
+    cc = _to_compiled(src)
+    if cc.analysis == AnalysisType.OP:
+        return run_op(cc)
+    if cc.analysis == AnalysisType.TRAN:
+        return run_transient(cc)
+    if cc.analysis == AnalysisType.AC:
+        return run_ac(cc)
+    if cc.analysis == AnalysisType.DC:
+        return run_dc(cc)
+    raise RuntimeError(f"unsupported analysis type: {cc.analysis}")

@@ -1,0 +1,87 @@
+"""Newton-Raphson as a ``lax.while_loop`` over assemble+solve.
+
+Three NR flavors exist in the reference and all are reproduced here via two
+static switches:
+
+* OP NR (op.go:25-88): device linearization voltages updated from the previous
+  solution EVERY iteration (seeded by the initial estimate); convergence
+  |Δ| ≤ reltol·max(|new|,|old|) + abstol.
+* Transient NR (tran.go:157-216): iteration 0 stamps with the *carried*
+  device voltages (warm start from the previous timestep); same convergence.
+* DC-sweep NR (dc.go:142-187): warm start like transient, but convergence is
+  CheckConvergence (anlysis.go:46-59): diff ≤ abstol OR diff ≤ reltol·|new|.
+
+The per-device linearization state is the ``jv`` pytree (engine/nlstate.py);
+updates go through the pnjlim junction limiter — the one capability the
+reference stubbed out (limiter.go) and visibly needed (PLAN.md 10).
+
+Convergence is only ever tested from iteration 1, so every call costs at
+least two assemble+solve rounds — exactly like the reference.  Non-finite
+solutions are treated as non-converged so the rescue ladders engage.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.assemble import assemble_system, load_gmin
+from ..ops.solve import linear_solve
+from .nlstate import update_jv
+
+MAX_ITER = 100  # reference convergence.maxIter (anlysis.go:38)
+ABSTOL = 1e-12
+RELTOL = 1e-6
+
+
+class NRResult(NamedTuple):
+    x: jnp.ndarray  # last solution
+    jv: dict  # device linearization state on exit
+    converged: jnp.ndarray  # bool scalar
+    iters: jnp.ndarray  # int32
+
+
+def make_nr(cc, mode: str, warm_start: bool, conv: str = "op", max_iter: int = MAX_ITER,
+            semantics: str = "compat"):
+    """Build an NR solver for the given stamp mode.
+
+    warm_start=False → OP flavor (jv from x every iteration; x0 = seed).
+    warm_start=True  → transient/DC flavor (iteration 0 uses carried jv).
+    conv: 'op' or 'dc' convergence formula.
+    """
+
+    def nr(params, state, jv_carry, x_init, t, dt, gmin, dc_scale) -> NRResult:
+        def body(carry):
+            k, x_prev, jv_prev, _ = carry
+            jv_next = update_jv(cc, params, x_prev, jv_prev)
+            if warm_start:
+                jv_used = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(k == 0, a, b), jv_carry, jv_next
+                )
+            else:
+                jv_used = jv_next
+            a, b = assemble_system(
+                cc, params, state, jv_used, t, dt, mode,
+                status_gmin=gmin, dc_scale=dc_scale, semantics=semantics,
+            )
+            a = load_gmin(a, gmin)
+            x = linear_solve(a, b)
+
+            finite = jnp.all(jnp.isfinite(x))
+            diff = jnp.abs(x - x_prev)
+            if conv == "dc":
+                ok = (diff <= ABSTOL) | (diff <= RELTOL * jnp.abs(x))
+            else:
+                ok = diff <= RELTOL * jnp.maximum(jnp.abs(x), jnp.abs(x_prev)) + ABSTOL
+            converged = (k > 0) & finite & jnp.all(ok)
+            return (k + 1, x, jv_used, converged)
+
+        def cond(carry):
+            k, x, jv, converged = carry
+            return jnp.logical_and(~converged, k < max_iter)
+
+        init = (jnp.int32(0), x_init, jv_carry, jnp.asarray(False))
+        k, x, jv, converged = jax.lax.while_loop(cond, body, init)
+        return NRResult(x=x, jv=jv, converged=converged, iters=k)
+
+    return nr

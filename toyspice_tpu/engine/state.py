@@ -1,0 +1,170 @@
+"""Committed device state as a pytree — the transient scan carry.
+
+The reference keeps this state in device struct fields (capacitor.go:11-16,
+inductor.go:12-19, magnetic.go:27-61, diode.go:38-42, mosfet.go:98-116,
+bjt.go:59-66); here it is one pytree so a whole transient is a single compiled
+loop and Monte-Carlo batches just add a leading axis.
+
+``compat`` semantics (default) reproduces the reference exactly: only C and L
+commit state (PLAN.md item 1 — the other device types fail the reference's
+TimeDependent interface and their prev* fields stay 0 forever).  ``physics``
+semantics commits all device families (live Jiles-Atherton hysteresis, real
+diode/MOSFET charge memory).
+"""
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..models import magnetic as mag_model
+from ..models import mosfet as mos_model
+from ..models import diode as diode_model
+
+
+def init_state(cc) -> Dict:
+    """Zero-initialized committed state for every stateful kind present."""
+
+    def z(kind):
+        return jnp.zeros(cc.kind_count(kind), dtype=jnp.float64)
+
+    state: Dict = {}
+    if "C" in cc.idx:
+        state["C"] = {"v0": z("C"), "v1": z("C"), "q0": z("C"), "q1": z("C")}
+    if "L" in cc.idx:
+        state["L"] = {
+            "i0": z("L"), "i1": z("L"), "v0": z("L"), "v1": z("L"), "flux0": z("L"),
+        }
+    if "LM" in cc.idx:
+        state["LM"] = {
+            "i0": z("LM"), "i1": z("LM"), "v0": z("LM"), "v1": z("LM"),
+            "flux0": z("LM"), "H": z("LM"), "Hold": z("LM"), "M": z("LM"),
+            "Mirr": z("LM"), "dMdH": z("LM"),
+        }
+    if "D" in cc.idx:
+        state["D"] = {"prev_vd": z("D"), "prev_id": z("D"), "prev_charge": z("D")}
+    if "M" in cc.idx:
+        state["M"] = {
+            "qgs": z("M"), "qgd": z("M"), "qgb": z("M"), "qbs": z("M"), "qbd": z("M"),
+        }
+    if "Q" in cc.idx:
+        state["Q"] = {"qbe": z("Q"), "qbc": z("Q")}
+    return state
+
+
+def make_commit(cc, semantics: str = "compat"):
+    """Build the state-commit function: (params, state, x, dt, t) -> state'."""
+
+    compat = semantics == "compat"
+
+    def commit(params, state, x, dt):
+        new = dict(state)
+
+        if "C" in cc.idx:
+            nodes = cc.idx["C"]["nodes"]
+            st = state["C"]
+            vd = x[nodes[:, 0]] - x[nodes[:, 1]]
+            cval = params["C"]["value"]
+            new["C"] = {
+                "v0": vd,
+                "v1": st["v0"],
+                "q0": cval * vd,
+                "q1": st["q0"],
+            }
+
+        if "L" in cc.idx:
+            nodes = cc.idx["L"]["nodes"]
+            st = state["L"]
+            vd = x[nodes[:, 0]] - x[nodes[:, 1]]
+            lval = params["L"]["value"]
+            # LoadState (inductor.go:81-95): BE current integration
+            i_load = st["i1"] + vd * dt / lval
+            flux0 = vd * dt  # flux1 is never shifted in the reference
+            if compat:
+                # UpdateState (inductor.go:97-114): i1 <- integrated current,
+                # i0 <- v·1e-9/L (the junk value consumed by Mutual and LTE)
+                i0_new = vd * 1e-9 / lval
+            else:
+                # physics: the branch unknown IS the current (x_b = -I)
+                i_load = -x[cc.idx["L"]["branch"]]
+                i0_new = i_load
+            new["L"] = {
+                "i0": i0_new,
+                "i1": i_load,
+                "v0": vd,
+                "v1": st["v0"],
+                "flux0": flux0,
+            }
+
+        if "LM" in cc.idx and not compat:
+            # physics mode: magnetic inductor state is live
+            nodes = cc.idx["LM"]["nodes"]
+            branch = cc.idx["LM"]["branch"]
+            st = state["LM"]
+            pm = params["LM"]
+            vd = x[nodes[:, 0]] - x[nodes[:, 1]]
+            i_new = -x[branch]
+            core_st = mag_model.CoreState(
+                H=st["H"], Hold=st["Hold"], M=st["M"], Mirr=st["Mirr"], dMdH=st["dMdH"]
+            )
+            h = jnp.clip(pm["turns"] * i_new / pm["len"], -1e6, 1e6)
+            _, _, core2 = mag_model.ja_calculate(pm, core_st, h, 300.15)
+            new["LM"] = {
+                "i0": i_new,
+                "i1": st["i0"],
+                "v0": vd,
+                "v1": st["v0"],
+                "flux0": st["flux0"] + vd * dt,
+                "H": core2.H,
+                "Hold": core2.Hold,
+                "M": core2.M,
+                "Mirr": core2.Mirr,
+                "dMdH": core2.dMdH,
+            }
+
+        if "D" in cc.idx and not compat:
+            nodes = cc.idx["D"]["nodes"]
+            pd = params["D"]
+            vd = x[nodes[:, 0]] - x[nodes[:, 1]]
+            id_, _ = diode_model.dc_eval(pd, vd, 300.15)
+            new["D"] = {
+                "prev_vd": vd,
+                "prev_id": id_,
+                "prev_charge": pd["tt"] * id_,
+            }
+
+        if "M" in cc.idx and not compat:
+            nodes = cc.idx["M"]["nodes"]
+            level = cc.idx["M"]["level"]
+            pmo = params["M"]
+            vgs, vds, vbs = mos_model.terminal_voltages(pmo, x, nodes)
+            ev = mos_model.dc_eval(pmo, level, vgs, vds, vbs)
+            qgs, qgd, qgb, qbs, qbd = mos_model.charges(pmo, ev, vgs, vds, vbs)
+            new["M"] = {"qgs": qgs, "qgd": qgd, "qgb": qgb, "qbs": qbs, "qbd": qbd}
+
+        return new
+
+    return commit
+
+
+def make_lte(cc):
+    """Max local-truncation-error over TimeDependent devices, which in the
+    reference are only C and L (tran.go:239-250; PLAN.md 1).  Uses committed
+    state — i.e. the estimate lags one accepted step, as in the reference."""
+
+    def lte(params, state, dt):
+        worst = jnp.zeros((), dtype=jnp.float64)
+        if "C" in cc.idx:
+            st = state["C"]
+            cval = params["C"]["value"]
+            # capacitor.go:173-178
+            v = jnp.abs(cval * st["v0"] - cval * st["v1"]) / (2.0 * dt)
+            worst = jnp.maximum(worst, jnp.max(v, initial=0.0))
+        if "L" in cc.idx:
+            st = state["L"]
+            # inductor.go:116-121
+            cur = jnp.abs(st["i0"] - st["i1"]) / (2.0 * dt)
+            vol = jnp.abs(st["v0"] - st["v1"]) / (2.0 * dt)
+            worst = jnp.maximum(worst, jnp.max(jnp.maximum(cur, vol), initial=0.0))
+        return worst
+
+    return lte

@@ -1,0 +1,175 @@
+"""Transient analysis: the reference's adaptive-timestep loop (tran.go:77-155)
+as one compiled ``lax.while_loop`` over *attempts*.
+
+Each attempt = clamp dt to tstop → Newton at the old time (sources are
+evaluated at t, not t+dt — PLAN.md 2) → LTE check against committed C/L state
+→ accept (commit + store + grow dt) or reject (halve dt).  Per the reference:
+
+* dt starts at minStep = tStep/50 with tStep pre-clamped to tStop/300
+  (tran.go:29-34, 93);
+* reject on NR failure or LTE > trtol(=7) while dt > minStep, else accept
+  (or hard-fail if NR failed at minStep);
+* growth: ×2 if LTE < trtol/100 else ×1.1, capped at tMax, only while
+  t < tstop and dt < tMax (tran.go:145-151);
+* results are stored for t ≥ tstart; formatted-time dedup happens host-side
+  (anlysis.go:61-72).
+
+The whole loop — OP warm-up, Newton, stamping, solving, state commits, output
+scatter — is a single XLA program; under ``vmap`` every Monte-Carlo instance
+carries its own t/dt/convergence state in lockstep.
+"""
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .newton import make_nr
+from .op import make_op
+from .nlstate import init_jv
+from .state import make_commit, make_lte
+
+TRTOL = 7.0  # SPICE3F5 default (tran.go:50)
+
+
+class TranConfig(NamedTuple):
+    tstart: float
+    tstop: float
+    tstep: float  # already clamped to tstop/300
+    tmax: float
+    minstep: float
+    uic: bool
+    max_store: int
+    max_attempts: int
+
+
+def build_config(tstart, tstop, tstep, tmax, uic) -> TranConfig:
+    if tstep > tstop / 300.0:
+        tstep = tstop / 300.0
+    minstep = tstep / 50.0
+    if tmax == 0:
+        tmax = tstep
+    # Accepted steps can be as small as minstep/2: halving applies only while
+    # dt > minstep, so the post-halving dt is > minstep/2 (plus O(1) clamped
+    # steps near tstop) — the buffer is sized for that worst case.
+    max_store = int(math.ceil(tstop / (minstep / 2.0) - 1e-9)) + 16
+    max_attempts = 6 * max_store + 256
+    return TranConfig(
+        tstart=tstart, tstop=tstop, tstep=tstep, tmax=tmax, minstep=minstep,
+        uic=bool(uic), max_store=max_store, max_attempts=max_attempts,
+    )
+
+
+class TranOutput(NamedTuple):
+    out_x: jnp.ndarray  # (max_store, np1) solution vectors of accepted steps
+    out_t: jnp.ndarray  # (max_store,)
+    out_n: jnp.ndarray  # number of stored rows
+    fail: jnp.ndarray  # bool: NR failed to converge at minStep
+    accepted: jnp.ndarray  # accepted steps (incl. pre-tstart)
+    attempts: jnp.ndarray
+    nr_iters: jnp.ndarray  # total Newton iterations
+    state: dict
+    jv: dict
+
+
+def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full"):
+    np1 = cc.np1
+    nr = make_nr(cc, mode="tran", warm_start=True, conv="op", semantics=semantics)
+    op_execute, _ = make_op(cc)
+    commit = make_commit(cc, semantics)
+    lte_fn = make_lte(cc)
+
+    k_store = cfg.max_store if store == "full" else 1
+
+    def tran_execute(params, state0) -> TranOutput:
+        zeros = jnp.zeros(np1, dtype=jnp.float64)
+
+        if not cfg.uic:
+            opr = op_execute(params, state0)
+            jv0 = opr.jv
+        else:
+            jv0 = init_jv(cc)
+
+        carry0 = dict(
+            t=jnp.float64(0.0),
+            dt=jnp.float64(cfg.minstep),
+            done=jnp.asarray(False),
+            fail=jnp.asarray(False),
+            state=state0,
+            jv=jv0,
+            out_x=jnp.zeros((k_store, np1), dtype=jnp.float64),
+            out_t=jnp.zeros(k_store, dtype=jnp.float64),
+            out_n=jnp.int32(0),
+            accepted=jnp.int32(0),
+            attempts=jnp.int32(0),
+            nr_iters=jnp.int32(0),
+        )
+
+        def cond(c):
+            return (~c["done"]) & (c["attempts"] < cfg.max_attempts)
+
+        def body(c):
+            t, dt = c["t"], c["dt"]
+            next_t = jnp.minimum(t + dt, cfg.tstop)
+            # dt is only recomputed when clamped at tstop (tran.go:97-101);
+            # (t+dt)-t != dt in floating point, so don't "simplify" this.
+            dt_eff = jnp.where(t + dt > cfg.tstop, cfg.tstop - t, dt)
+
+            res = nr(params, c["state"], c["jv"], jnp.zeros(np1, dtype=jnp.float64),
+                     t=t, dt=dt_eff, gmin=0.0, dc_scale=1.0)
+
+            lte = lte_fn(params, c["state"], dt_eff)
+            can_halve = dt_eff > cfg.minstep
+            nr_fail = ~res.converged
+            hard_fail = nr_fail & ~can_halve
+            reject = (nr_fail & can_halve) | (res.converged & (lte > TRTOL) & can_halve)
+            accept = res.converged & ~reject
+
+            state2 = commit(params, c["state"], res.x, dt_eff)
+            state_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), state2, c["state"]
+            )
+
+            t_new = jnp.where(accept, next_t, t)
+            grow = jnp.where(lte < TRTOL / 100.0, 2.0, 1.1)
+            dt_grown = jnp.where(
+                (next_t < cfg.tstop) & (dt_eff < cfg.tmax),
+                jnp.minimum(dt_eff * grow, cfg.tmax),
+                dt_eff,
+            )
+            dt_new = jnp.where(accept, dt_grown, dt_eff / 2.0)
+
+            out_x, out_t, out_n = c["out_x"], c["out_t"], c["out_n"]
+            if store == "full":
+                store_now = accept & (t_new >= cfg.tstart) & (out_n < k_store)
+                slot = jnp.minimum(out_n, k_store - 1)
+                out_x = out_x.at[slot].set(jnp.where(store_now, res.x, out_x[slot]))
+                out_t = out_t.at[slot].set(jnp.where(store_now, t_new, out_t[slot]))
+                out_n = out_n + store_now.astype(jnp.int32)
+
+            done = c["done"] | (accept & (t_new >= cfg.tstop)) | hard_fail
+
+            return dict(
+                t=t_new,
+                dt=dt_new,
+                done=done,
+                fail=c["fail"] | hard_fail,
+                state=state_new,
+                jv=res.jv,  # device linearization persists across rejects too
+                out_x=out_x,
+                out_t=out_t,
+                out_n=out_n,
+                accepted=c["accepted"] + accept.astype(jnp.int32),
+                attempts=c["attempts"] + 1,
+                nr_iters=c["nr_iters"] + res.iters,
+            )
+
+        c = jax.lax.while_loop(cond, body, carry0)
+        return TranOutput(
+            out_x=c["out_x"], out_t=c["out_t"], out_n=c["out_n"], fail=c["fail"],
+            accepted=c["accepted"], attempts=c["attempts"], nr_iters=c["nr_iters"],
+            state=c["state"], jv=c["jv"],
+        )
+
+    return tran_execute

@@ -1,0 +1,59 @@
+"""Multi-chip scaling: shard the Monte-Carlo batch axis over a device mesh.
+
+Per-instance circuits are tiny (≲ tens of MNA rows), so parallelism across
+chips is pure data parallel over the batch axis — the scaling-book recipe:
+pick a mesh, annotate shardings on the batched leaves, let XLA place the
+compute; the only collective is a `psum` of accepted-step counters over ICI.
+The reference has no distributed machinery at all (SURVEY.md §2.2); this
+module is the TPU-native replacement.
+"""
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.state import init_state
+from ..engine.tran import TranConfig, make_tran
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, params: Dict, in_axes: Dict, axis: str = "data"):
+    """Place batched leaves (in_axes == 0) on the mesh's batch axis and
+    replicate the rest."""
+    batched = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+
+    def place(leaf, ax):
+        return jax.device_put(leaf, batched if ax == 0 else replicated)
+
+    return jax.tree_util.tree_map(place, params, in_axes)
+
+
+def run_transient_sharded(cc, cfg: TranConfig, mesh: Mesh, params, in_axes,
+                          semantics: str = "compat", axis: str = "data"):
+    """One compiled, mesh-sharded batched transient.  Returns the batched
+    TranOutput plus the ICI-psum'd aggregate accepted-step count."""
+    tran = make_tran(cc, cfg, semantics=semantics, store="none")
+    state0 = init_state(cc)
+    sharded_params = shard_batch(mesh, params, in_axes, axis)
+
+    vfn = jax.vmap(tran, in_axes=(in_axes, None))
+
+    @jax.jit
+    def step(p, s):
+        out = vfn(p, s)
+        return out, jnp.sum(out.accepted)
+
+    out, total = step(sharded_params, state0)
+    return out, total

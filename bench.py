@@ -65,17 +65,17 @@ def main():
     tran = make_tran(cc, cfg, store="none")
     fn = jax.jit(jax.vmap(tran, in_axes=(axes, None)))
 
-    # compile + warm up
+    # compile + warm up.  NOTE: on the tunneled TPU backend
+    # jax.block_until_ready returns before the result is actually
+    # materialized host-side, so the timed region fetches values explicitly.
     out = fn(params, state0)
-    jax.block_until_ready(out.accepted)
+    _ = int(np.sum(np.asarray(out.accepted)))
 
     t0 = time.perf_counter()
     out = fn(params, state0)
-    jax.block_until_ready(out.accepted)
-    wall = time.perf_counter() - t0
-
     total_steps = int(np.sum(np.asarray(out.accepted)))
     fails = int(np.sum(np.asarray(out.fail)))
+    wall = time.perf_counter() - t0
     rate = total_steps / wall
 
     result = {

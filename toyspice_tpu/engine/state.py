@@ -14,6 +14,7 @@ diode/MOSFET charge memory).
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from ..models import magnetic as mag_model
@@ -96,9 +97,16 @@ def make_commit(cc, semantics: str = "compat"):
             }
 
         if "LM" in cc.idx and not compat:
-            # physics mode: magnetic inductor state is live
+            # physics mode: magnetic inductor state is live.  Windings on a
+            # shared core (same core_id) see the core's TOTAL magnetomotive
+            # force H = sum_w(N_w·I_w)/len, so each winding's core-state copy
+            # stays identical within the group (a physical fix the reference
+            # doesn't attempt: it updates one shared core object sequentially
+            # per winding with per-winding H).
             nodes = cc.idx["LM"]["nodes"]
             branch = cc.idx["LM"]["branch"]
+            core_id = cc.idx["LM"]["core_id"]
+            n_cores = int(core_id.max()) + 1
             st = state["LM"]
             pm = params["LM"]
             vd = x[nodes[:, 0]] - x[nodes[:, 1]]
@@ -106,7 +114,9 @@ def make_commit(cc, semantics: str = "compat"):
             core_st = mag_model.CoreState(
                 H=st["H"], Hold=st["Hold"], M=st["M"], Mirr=st["Mirr"], dMdH=st["dMdH"]
             )
-            h = jnp.clip(pm["turns"] * i_new / pm["len"], -1e6, 1e6)
+            mmf = jax.ops.segment_sum(pm["turns"] * i_new, core_id,
+                                      num_segments=n_cores)[core_id]
+            h = jnp.clip(mmf / pm["len"], -1e6, 1e6)
             _, _, core2 = mag_model.ja_calculate(pm, core_st, h, 300.15)
             new["LM"] = {
                 "i0": i_new,

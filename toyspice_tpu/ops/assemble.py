@@ -106,7 +106,8 @@ def _vsource_pattern(acc: _Acc, nodes: np.ndarray, branch: np.ndarray, dtype):
     acc.add(n2, branch, -ones)
 
 
-def _gather_inductance(cc, params, state, kind_sel, idx_sel, temp):
+def _gather_inductance(cc, params, state, kind_sel, idx_sel, temp,
+                       semantics="compat"):
     """Per-pair (inductance, i0, i1) as Mutual sees them via
     GetValue()/GetCurrent() (mutual.go:79-103): linear L -> (value, junk i0);
     magnetic -> (J-A GetValue at own i0, i0).  i1 is the committed current
@@ -126,7 +127,14 @@ def _gather_inductance(cc, params, state, kind_sel, idx_sel, temp):
             H=stm["H"], Hold=stm["Hold"], M=stm["M"], Mirr=stm["Mirr"],
             dMdH=stm["dMdH"],
         )
-        lm_val_all = mag_model.value_for_mutual(pm, core_st, stm["i0"], temp)
+        if semantics == "compat":
+            lm_val_all = mag_model.value_for_mutual(pm, core_st, stm["i0"], temp)
+        else:
+            # physics: same incremental inductance as the branch stamp
+            lm_val_all = jnp.maximum(
+                1e-12,
+                mag_model.l_zero(pm) * (1.0 + jnp.clip(stm["dMdH"], -1e3, 1e3)),
+            )
         lm_i0 = stm["i0"]
         lm_i1 = stm["i1"]
     else:
@@ -217,13 +225,22 @@ def assemble_system(
         if tran:
             dt_eff = jnp.where(dt > 0, dt, 1e-9)
             l0 = mag_model.l_zero(pm)
-            core_st = mag_model.CoreState(
-                H=stm["H"], Hold=stm["Hold"], M=stm["M"], Mirr=stm["Mirr"],
-                dMdH=stm["dMdH"],
-            )
-            leff, _ = mag_model.l_effective(pm, core_st, stm["i0"], temp)
-            use_l0 = (t < dt_eff) | (jnp.abs(stm["i0"]) < 1e-9)
-            l_used = jnp.where(use_l0, l0, leff)
+            if semantics == "compat":
+                # reference behavior: i0 is frozen at 0 (PLAN.md 1), so the
+                # |i0|<1e-9 guard always selects the linear L0 branch
+                core_st = mag_model.CoreState(
+                    H=stm["H"], Hold=stm["Hold"], M=stm["M"], Mirr=stm["Mirr"],
+                    dMdH=stm["dMdH"],
+                )
+                leff, _ = mag_model.l_effective(pm, core_st, stm["i0"], temp)
+                use_l0 = (t < dt_eff) | (jnp.abs(stm["i0"]) < 1e-9)
+                l_used = jnp.where(use_l0, l0, leff)
+            else:
+                # physics: incremental inductance from the committed core
+                # state (dMdH starts at 0, so this is L0 at t=0 and evolves
+                # continuously — no discontinuous L0/Leff switching)
+                dmdh = jnp.clip(stm["dMdH"], -1e3, 1e3)
+                l_used = jnp.maximum(1e-12, l0 * (1.0 + dmdh))
             acc.add(branch, branch, -l_used / dt_eff)
             acc.add_rhs(branch, l_used / dt_eff * stm["i1"])
         else:
@@ -250,9 +267,9 @@ def assemble_system(
         kidx = cc.idx["K"]
         coeff = params["K"]["coeff"]
         la, i0a, i1a = _gather_inductance(cc, params, state, kidx["kind_a"],
-                                          kidx["idx_a"], temp)
+                                          kidx["idx_a"], temp, semantics)
         lb, i0b, i1b = _gather_inductance(cc, params, state, kidx["kind_b"],
-                                          kidx["idx_b"], temp)
+                                          kidx["idx_b"], temp, semantics)
         mij = coeff * jnp.sqrt(la * lb)
         dt_eff = dt  # mutual returns early if dt<=0; transient always has dt>0
         acc.add(kidx["branch_a"], kidx["branch_b"], -mij / dt_eff)

@@ -103,7 +103,26 @@ def main(argv=None):
                     "(toy-spice capabilities, JAX/XLA engine)",
     )
     parser.add_argument("netlist", help="netlist file (.cir)")
+    parser.add_argument(
+        "--platform",
+        choices=["cpu", "tpu", "auto"],
+        default="cpu",
+        help="JAX platform for the solve.  Default cpu: a single-instance "
+             "netlist is latency-bound and compiles in seconds on the host; "
+             "the TPU surface is the Monte-Carlo batch API "
+             "(toyspice_tpu.engine.batch) where thousands of instances "
+             "amortize one compilation.  'auto' uses JAX's default device.",
+    )
     args = parser.parse_args(argv)
+
+    if args.platform != "auto":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception as e:  # backends already initialized elsewhere
+            print(f"warning: could not select platform {args.platform}: {e}",
+                  file=sys.stderr)
 
     try:
         with open(args.netlist) as f:

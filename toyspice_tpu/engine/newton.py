@@ -50,6 +50,24 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op", max_iter: int = M
     conv: 'op' or 'dc' convergence formula.
     """
 
+    # Linear fast path: with no NonLinear devices the assembled system is
+    # independent of x, so the reference's two mandatory NR rounds (converge
+    # check only from iteration 1) solve the SAME system twice and compare
+    # identical solutions.  One assemble+solve produces the identical result;
+    # convergence reduces to "solution is finite" (non-finite = singular
+    # system, exactly when the reference's diff check would see inf/nan).
+    linear = not any(k in cc.idx for k in ("D", "Q", "M"))
+
+    def nr_linear(params, state, jv_carry, x_init, t, dt, gmin, dc_scale) -> NRResult:
+        a, b = assemble_system(
+            cc, params, state, jv_carry, t, dt, mode,
+            status_gmin=gmin, dc_scale=dc_scale, semantics=semantics,
+        )
+        a = load_gmin(a, gmin)
+        x = linear_solve(a, b)
+        converged = jnp.all(jnp.isfinite(x))
+        return NRResult(x=x, jv=jv_carry, converged=converged, iters=jnp.int32(1))
+
     def nr(params, state, jv_carry, x_init, t, dt, gmin, dc_scale) -> NRResult:
         def body(carry):
             k, x_prev, jv_prev, _ = carry
@@ -84,4 +102,4 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op", max_iter: int = M
         k, x, jv, converged = jax.lax.while_loop(cond, body, init)
         return NRResult(x=x, jv=jv, converged=converged, iters=k)
 
-    return nr
+    return nr_linear if linear else nr

@@ -23,8 +23,23 @@ one-hot.  A structurally singular system yields a non-finite solution, which
 Newton callers treat as non-converged (so the rescue ladders engage).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _solver_backend() -> str:
+    """'pallas' (fused double-float TPU kernel) or 'xla' (emulated-f64 ops).
+
+    TOYSPICE_SOLVER=pallas|xla|auto overrides; auto picks the Pallas kernel
+    exactly when the default backend is a real TPU (tests and the multichip
+    dryrun force CPU, where f64 is native and Pallas-TPU is unavailable).
+    """
+    v = os.environ.get("TOYSPICE_SOLVER", "auto")
+    if v in ("pallas", "xla"):
+        return v
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _gj_batch_last(m):
@@ -87,4 +102,8 @@ def _linear_solve_vmap(axis_size, in_batched, a, b):
         a = jnp.broadcast_to(a, (axis_size,) + a.shape)
     if not b_b:
         b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    if _solver_backend() == "pallas":
+        from .pallas_solve import pallas_solve_batched
+
+        return pallas_solve_batched(a, b), True
     return _solve_batched(a, b), True

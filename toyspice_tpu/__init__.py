@@ -46,6 +46,7 @@ from .engine import (  # noqa: E402,F401
     run_dc,
     run_analysis,
 )
+from .engine.options import SimOptions  # noqa: E402,F401
 from .engine.batch import batch_params, run_transient_batch  # noqa: E402,F401
 
 __version__ = "0.1.0"

@@ -104,6 +104,12 @@ def main(argv=None):
     )
     parser.add_argument("netlist", help="netlist file (.cir)")
     parser.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="print the parse report, per-element expected stamps and the "
+             "assembled MNA system before solving (the reference CLI's "
+             "procWithPrintSystem pipeline)",
+    )
+    parser.add_argument(
         "--platform",
         choices=["cpu", "tpu", "auto"],
         default="cpu",
@@ -132,7 +138,23 @@ def main(argv=None):
         return 1
 
     try:
-        results = run_analysis(text)
+        if args.verbose:
+            from .compiler import compile_circuit
+            from .netlist.parser import parse
+            from . import debug
+
+            print(f"\n[1] Reading netlist file: {args.netlist}")
+            print(f"File contents:\n{text}")
+            print("\n[2] Parsing netlist")
+            cc = compile_circuit(parse(text))
+            debug.print_parse_report(cc)
+            print("\n[3] Creating circuit structure")
+            debug.print_element_details(cc)
+            debug.print_system(cc)
+            print("\n[4] Running analysis")
+            results = run_analysis(cc)
+        else:
+            results = run_analysis(text)
     except Exception as e:
         print(f"Analysis failed: {e}", file=sys.stderr)
         return 1

@@ -20,6 +20,7 @@ from . import results as results_mod
 from .ac import frequency_points, make_ac
 from .dc import make_dc, sweep_values
 from .op import make_op
+from .options import DEFAULTS, SimOptions
 from .state import init_state
 from .tran import build_config, make_tran
 from .results import Results
@@ -54,22 +55,28 @@ def _engine_cache(cc) -> dict:
     return cache
 
 
-def run_op(src) -> Results:
+def run_op(src, options: SimOptions = DEFAULTS) -> Results:
     cc = _to_compiled(src)
     cache = _engine_cache(cc)
-    if "op" not in cache:
-        op_execute, _ = make_op(cc)
-        cache["op"] = jax.jit(op_execute)
+    key = ("op", options)
+    if key not in cache:
+        op_execute, _ = make_op(cc, options)
+        cache[key] = jax.jit(op_execute)
     params = _params(cc)
     state = init_state(cc)
-    r = cache["op"](params, state)
+    r = cache[key](params, state)
     if not bool(r.converged):
         raise RuntimeError("operating point failed to converge")
     return results_mod.from_op(cc, r.x)
 
 
 def run_transient(src, tstart=None, tstop=None, tstep=None, tmax=None, uic=None,
-                  semantics: str = "compat") -> Results:
+                  semantics: str = "compat",
+                  options: SimOptions = DEFAULTS,
+                  initial_state=None) -> Results:
+    """initial_state: a committed state pytree (e.g. from a checkpoint,
+    engine/checkpoint.py) to resume from; defaults to the zero state.  The
+    returned Results carries .final_state / .final_time for checkpointing."""
     cc = _to_compiled(src)
     tp = cc.netlist.tran
     cfg = build_config(
@@ -78,20 +85,30 @@ def run_transient(src, tstart=None, tstop=None, tstep=None, tmax=None, uic=None,
         tstep if tstep is not None else tp.tstep,
         tmax if tmax is not None else tp.tmax,
         uic if uic is not None else tp.uic,
+        opts=options,
     )
     cache = _engine_cache(cc)
-    key = ("tran", cfg, semantics)
+    key = ("tran", cfg, semantics, options)
     if key not in cache:
-        cache[key] = jax.jit(make_tran(cc, cfg, semantics=semantics, store="full"))
+        cache[key] = jax.jit(make_tran(cc, cfg, semantics=semantics, store="full",
+                                       opts=options))
     params = _params(cc)
-    state = init_state(cc)
+    if initial_state is None:
+        state = init_state(cc)
+    else:
+        state = {k: {kk: jnp.asarray(vv) for kk, vv in t.items()}
+                 for k, t in initial_state.items()}
     out = cache[key](params, state)
     if bool(out.fail):
         raise RuntimeError("transient failed to converge at minimum timestep")
-    return results_mod.from_tran(cc, out.out_t, out.out_x, out.out_n)
+    r = results_mod.from_tran(cc, out.out_t, out.out_x, out.out_n)
+    r.final_state = jax.tree_util.tree_map(np.asarray, out.state)
+    r.final_time = float(np.asarray(out.out_t)[max(int(out.out_n) - 1, 0)])
+    return r
 
 
-def run_ac(src, sweep=None, fstart=None, fstop=None, points=None) -> Results:
+def run_ac(src, sweep=None, fstart=None, fstop=None, points=None,
+           options: SimOptions = DEFAULTS) -> Results:
     cc = _to_compiled(src)
     ap = cc.netlist.ac
     freqs = frequency_points(
@@ -100,16 +117,21 @@ def run_ac(src, sweep=None, fstart=None, fstop=None, points=None) -> Results:
         fstop if fstop is not None else ap.fstop,
         points if points is not None else ap.points,
     )
-    ac_execute = make_ac(cc)
+    cache = _engine_cache(cc)
+    key = ("ac", options)
+    if key not in cache:
+        cache[key] = jax.jit(make_ac(cc, options))
+    ac_execute = cache[key]
     params = _params(cc)
     state = init_state(cc)
-    xr, xi, opr = jax.jit(ac_execute)(params, state, jnp.asarray(freqs))
+    xr, xi, opr = ac_execute(params, state, jnp.asarray(freqs))
     if not bool(opr.converged):
         raise RuntimeError("AC bias point failed to converge")
     return results_mod.from_ac(cc, freqs, xr, xi)
 
 
-def run_dc(src, sources=None, starts=None, stops=None, increments=None) -> Results:
+def run_dc(src, sources=None, starts=None, stops=None, increments=None,
+           options: SimOptions = DEFAULTS) -> Results:
     cc = _to_compiled(src)
     dp = cc.netlist.dc
     if sources is None:
@@ -132,10 +154,14 @@ def run_dc(src, sources=None, starts=None, stops=None, increments=None) -> Resul
     else:
         pts = np.asarray(sweeps[0], dtype=np.float64)
 
-    dc_execute = make_dc(cc, tuple(slots))
+    cache = _engine_cache(cc)
+    key = ("dc", tuple(slots), options)
+    if key not in cache:
+        cache[key] = jax.jit(make_dc(cc, tuple(slots), options))
+    dc_execute = cache[key]
     params = _params(cc)
     state = init_state(cc)
-    xs, conv = jax.jit(dc_execute)(params, state, jnp.asarray(pts))
+    xs, conv = dc_execute(params, state, jnp.asarray(pts))
     if not bool(jnp.all(conv)):
         bad = int(jnp.argmin(conv))
         raise RuntimeError(f"DC sweep failed to converge at point {bad}")

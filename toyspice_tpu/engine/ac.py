@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..ops.assemble import assemble_system_ac
 from ..ops.solve import linear_solve
 from .op import make_op
+from .options import DEFAULTS, SimOptions
 
 
 def frequency_points(sweep: str, fstart: float, fstop: float, num_points: int):
@@ -32,12 +33,12 @@ def frequency_points(sweep: str, fstart: float, fstop: float, num_points: int):
         return fstart + i * ((fstop - fstart) / n)
 
 
-def make_ac(cc):
+def make_ac(cc, opts: SimOptions = DEFAULTS):
     np1 = cc.np1
-    op_execute, _ = make_op(cc)
+    op_execute, _ = make_op(cc, opts)
 
     def solve_one(params, state, jv, freq):
-        a2, b2 = assemble_system_ac(cc, params, state, jv, freq)
+        a2, b2 = assemble_system_ac(cc, params, state, jv, freq, temp=opts.temp)
         x2 = linear_solve(a2, b2)
         return x2[:np1], x2[np1:]
 

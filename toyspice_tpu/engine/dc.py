@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from .newton import make_nr
 from .nlstate import init_jv
+from .options import DEFAULTS, SimOptions
 
 
 def sweep_values(start: float, stop: float, inc: float):
@@ -25,11 +26,11 @@ def sweep_values(start: float, stop: float, inc: float):
     return vals
 
 
-def make_dc(cc, src_slots):
+def make_dc(cc, src_slots, opts: SimOptions = DEFAULTS):
     """src_slots: tuple of indices into the V table for the swept sources
     (1 = single sweep, 2 = nested)."""
     np1 = cc.np1
-    nr = make_nr(cc, mode="op", warm_start=True, conv="dc")
+    nr = make_nr(cc, mode="op", warm_start=True, conv="dc", opts=opts)
 
     def set_source(params, slot, val):
         p2 = dict(params)

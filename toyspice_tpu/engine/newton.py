@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..ops.assemble import assemble_system, load_gmin
 from ..ops.solve import linear_solve
 from .nlstate import update_jv
+from .options import DEFAULTS, SimOptions
 
 MAX_ITER = 100  # reference convergence.maxIter (anlysis.go:38)
 ABSTOL = 1e-12
@@ -41,14 +42,17 @@ class NRResult(NamedTuple):
     iters: jnp.ndarray  # int32
 
 
-def make_nr(cc, mode: str, warm_start: bool, conv: str = "op", max_iter: int = MAX_ITER,
-            semantics: str = "compat"):
+def make_nr(cc, mode: str, warm_start: bool, conv: str = "op",
+            semantics: str = "compat", opts: SimOptions = DEFAULTS):
     """Build an NR solver for the given stamp mode.
 
     warm_start=False → OP flavor (jv from x every iteration; x0 = seed).
     warm_start=True  → transient/DC flavor (iteration 0 uses carried jv).
     conv: 'op' or 'dc' convergence formula.
     """
+    max_iter = opts.max_iter
+    abstol = opts.abstol
+    reltol = opts.reltol
 
     # Linear fast path: with no NonLinear devices the assembled system is
     # independent of x, so the reference's two mandatory NR rounds (converge
@@ -62,6 +66,7 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op", max_iter: int = M
         a, b = assemble_system(
             cc, params, state, jv_carry, t, dt, mode,
             status_gmin=gmin, dc_scale=dc_scale, semantics=semantics,
+            temp=opts.temp, gmin_floor=opts.gmin,
         )
         a = load_gmin(a, gmin)
         x = linear_solve(a, b)
@@ -81,6 +86,7 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op", max_iter: int = M
             a, b = assemble_system(
                 cc, params, state, jv_used, t, dt, mode,
                 status_gmin=gmin, dc_scale=dc_scale, semantics=semantics,
+                temp=opts.temp, gmin_floor=opts.gmin,
             )
             a = load_gmin(a, gmin)
             x = linear_solve(a, b)
@@ -88,9 +94,9 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op", max_iter: int = M
             finite = jnp.all(jnp.isfinite(x))
             diff = jnp.abs(x - x_prev)
             if conv == "dc":
-                ok = (diff <= ABSTOL) | (diff <= RELTOL * jnp.abs(x))
+                ok = (diff <= abstol) | (diff <= reltol * jnp.abs(x))
             else:
-                ok = diff <= RELTOL * jnp.maximum(jnp.abs(x), jnp.abs(x_prev)) + ABSTOL
+                ok = diff <= reltol * jnp.maximum(jnp.abs(x), jnp.abs(x_prev)) + abstol
             converged = (k > 0) & finite & jnp.all(ok)
             return (k + 1, x, jv_used, converged)
 

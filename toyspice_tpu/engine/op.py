@@ -14,6 +14,7 @@ from ..ops.assemble import assemble_system
 from ..ops.solve import linear_solve
 from .newton import make_nr
 from .nlstate import init_jv
+from .options import DEFAULTS, SimOptions
 
 # Source-stepping scale factors, generated with the same float accumulation
 # the reference uses (op.go:147: for factor := 0.1; factor <= 1.0; factor += 0.1)
@@ -37,9 +38,9 @@ class OPResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def make_op(cc):
+def make_op(cc, opts: SimOptions = DEFAULTS):
     np1 = cc.np1
-    nr = make_nr(cc, mode="op", warm_start=False, conv="op")
+    nr = make_nr(cc, mode="op", warm_start=False, conv="op", opts=opts)
 
     def initial_estimate(params, state, dc_scale):
         """Linear-devices-only solve (op.go:90-111), stamped with the
@@ -49,6 +50,7 @@ def make_op(cc):
         a, b = assemble_system(
             cc, params, state, None, t=0.0, dt=0.0, mode="op",
             status_gmin=0.0, dc_scale=dc_scale, linear_only=True,
+            temp=opts.temp, gmin_floor=opts.gmin,
         )
         x = linear_solve(a, b)
         return jnp.where(jnp.all(jnp.isfinite(x)), x, zeros)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from .newton import make_nr
 from .op import make_op
 from .nlstate import init_jv
+from .options import DEFAULTS, SimOptions
 from .state import make_commit, make_lte
 
 TRTOL = 7.0  # SPICE3F5 default (tran.go:50)
@@ -44,10 +45,11 @@ class TranConfig(NamedTuple):
     max_attempts: int
 
 
-def build_config(tstart, tstop, tstep, tmax, uic) -> TranConfig:
-    if tstep > tstop / 300.0:
-        tstep = tstop / 300.0
-    minstep = tstep / 50.0
+def build_config(tstart, tstop, tstep, tmax, uic,
+                 opts: SimOptions = DEFAULTS) -> TranConfig:
+    if tstep > tstop / opts.tstep_divisor:
+        tstep = tstop / opts.tstep_divisor
+    minstep = tstep / opts.minstep_divisor
     if tmax == 0:
         tmax = tstep
     # Accepted steps can be as small as minstep/2: halving applies only while
@@ -73,10 +75,13 @@ class TranOutput(NamedTuple):
     jv: dict
 
 
-def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full"):
+def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full",
+              opts: SimOptions = DEFAULTS):
     np1 = cc.np1
-    nr = make_nr(cc, mode="tran", warm_start=True, conv="op", semantics=semantics)
-    op_execute, _ = make_op(cc)
+    trtol = opts.trtol
+    nr = make_nr(cc, mode="tran", warm_start=True, conv="op",
+                 semantics=semantics, opts=opts)
+    op_execute, _ = make_op(cc, opts)
     commit = make_commit(cc, semantics)
     lte_fn = make_lte(cc)
 
@@ -123,7 +128,7 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
             can_halve = dt_eff > cfg.minstep
             nr_fail = ~res.converged
             hard_fail = nr_fail & ~can_halve
-            reject = (nr_fail & can_halve) | (res.converged & (lte > TRTOL) & can_halve)
+            reject = (nr_fail & can_halve) | (res.converged & (lte > trtol) & can_halve)
             accept = res.converged & ~reject
 
             state2 = commit(params, c["state"], res.x, dt_eff)
@@ -132,7 +137,7 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
             )
 
             t_new = jnp.where(accept, next_t, t)
-            grow = jnp.where(lte < TRTOL / 100.0, 2.0, 1.1)
+            grow = jnp.where(lte < trtol / 100.0, 2.0, 1.1)
             dt_grown = jnp.where(
                 (next_t < cfg.tstop) & (dt_eff < cfg.tmax),
                 jnp.minimum(dt_eff * grow, cfg.tmax),

@@ -163,6 +163,7 @@ def assemble_system(
     linear_only: bool = False,
     temp=TEMP_DEFAULT,
     semantics: str = "compat",
+    gmin_floor: float = 1e-12,
 ):
     """Build (A, b) for the OP/transient Newton iteration.
 
@@ -201,8 +202,9 @@ def assemble_system(
             acc.add_rhs(nodes[:, 0], ceq)
             acc.add_rhs(nodes[:, 1], -ceq)
         else:
-            # OP: gmin leak (capacitor.go:67-83)
-            gc = jnp.maximum(status_gmin, 1e-12) * jnp.ones_like(cval)
+            # OP: gmin leak (capacitor.go:67-83); the floor is the
+            # convergence-gmin default (anlysis.go:41), SimOptions.gmin
+            gc = jnp.maximum(status_gmin, gmin_floor) * jnp.ones_like(cval)
             _two_node_pattern(acc, nodes, gc)
 
     # --- linear inductors (inductor.go:38-79; BE order-1 companion) ---

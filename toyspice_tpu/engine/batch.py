@@ -12,6 +12,11 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from .ac import make_ac
+from .dc import make_dc
+from .op import make_op
+from .options import DEFAULTS, SimOptions
+from .state import init_state
 from .tran import TranConfig, make_tran
 
 
@@ -33,11 +38,48 @@ def batch_params(cc, overrides: Dict[str, Dict[str, jnp.ndarray]]) -> Tuple[dict
 
 def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
                         semantics: str = "compat", store: str = "none",
-                        jit: bool = True):
+                        jit: bool = True, opts: SimOptions = DEFAULTS):
     """vmapped transient over the batch axis.  Returns the batched TranOutput
     (out_* only populated when store='full')."""
-    tran = make_tran(cc, cfg, semantics=semantics, store=store)
+    tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts)
     fn = jax.vmap(tran, in_axes=(in_axes, None))
     if jit:
         fn = jax.jit(fn)
     return fn(params, state0)
+
+
+def run_op_batch(cc, params, in_axes, jit: bool = True,
+                 opts: SimOptions = DEFAULTS):
+    """vmapped operating point: each instance runs the full NR + rescue
+    ladders on its own parameters.  Returns the batched OPResult
+    (x: (B, np1), converged: (B,))."""
+    op_execute, _ = make_op(cc, opts)
+    state0 = init_state(cc)
+    fn = jax.vmap(lambda p: op_execute(p, state0), in_axes=(in_axes,))
+    if jit:
+        fn = jax.jit(fn)
+    return fn(params)
+
+
+def run_ac_batch(cc, params, in_axes, freqs, jit: bool = True,
+                 opts: SimOptions = DEFAULTS):
+    """vmapped AC: per-instance bias point + frequency sweep.  Returns
+    (xr, xi, opr) with leading batch axes; xr/xi are (B, F, np1)."""
+    ac_execute = make_ac(cc, opts)
+    state0 = init_state(cc)
+    fn = jax.vmap(lambda p: ac_execute(p, state0, freqs), in_axes=(in_axes,))
+    if jit:
+        fn = jax.jit(fn)
+    return fn(params)
+
+
+def run_dc_batch(cc, src_slots, params, in_axes, points, jit: bool = True,
+                 opts: SimOptions = DEFAULTS):
+    """vmapped DC sweep.  Returns (xs, conv) with leading batch axes;
+    xs is (B, P, np1)."""
+    dc_execute = make_dc(cc, src_slots, opts)
+    state0 = init_state(cc)
+    fn = jax.vmap(lambda p: dc_execute(p, state0, points), in_axes=(in_axes,))
+    if jit:
+        fn = jax.jit(fn)
+    return fn(params)

@@ -323,11 +323,19 @@ def compile_circuit(data: NetlistData) -> CompiledCircuit:
     def ff(x):
         return np.asarray(x, dtype=np.float64)
 
-    # R / C
+    # R / C.  Resistors carry tc1/tc2 for the quadratic temperature
+    # adjustment (resistor.go:77-81; not settable from a netlist — programmatic
+    # API only, defaults 0 so the factor is exactly 1 at any temperature
+    # unless overridden).  Capacitors likewise (capacitor.go:180-184).
     for kind in ("R", "C"):
         if rows[kind]:
+            nk = len(rows[kind])
             idx[kind] = {"nodes": ii([r["nodes"] for r in rows[kind]])}
-            params[kind] = {"value": ff([r["value"] for r in rows[kind]])}
+            params[kind] = {
+                "value": ff([r["value"] for r in rows[kind]]),
+                "tc1": np.zeros(nk, dtype=np.float64),
+                "tc2": np.zeros(nk, dtype=np.float64),
+            }
 
     # L
     if rows["L"]:

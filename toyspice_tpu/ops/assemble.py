@@ -180,16 +180,23 @@ def assemble_system(
     acc = _Acc()
     f64 = jnp.float64
 
-    # --- resistors (resistor.go:32-75; temp coefficient is never settable
-    # from a netlist so the adjustment factor is exactly 1) ---
+    # --- resistors (resistor.go:32-75) with the quadratic temperature
+    # adjustment R(T) = R·(1 + tc1·dT + tc2·dT²), Tnom = 300.15 K
+    # (resistor.go:77-81; tc defaults are 0 so the factor is exactly 1) ---
     if "R" in cc.idx:
-        g = 1.0 / params["R"]["value"]
+        pr = params["R"]
+        dtemp = temp - TEMP_DEFAULT
+        rval = pr["value"] * (1.0 + pr["tc1"] * dtemp + pr["tc2"] * dtemp * dtemp)
+        g = 1.0 / rval
         _two_node_pattern(acc, cc.idx["R"]["nodes"], g)
 
-    # --- capacitors ---
+    # --- capacitors, with the same quadratic temperature adjustment
+    # (capacitor.go:180-184; tc defaults 0) ---
     if "C" in cc.idx:
         nodes = cc.idx["C"]["nodes"]
-        cval = params["C"]["value"]
+        pc = params["C"]
+        dtemp_c = temp - TEMP_DEFAULT
+        cval = pc["value"] * (1.0 + pc["tc1"] * dtemp_c + pc["tc2"] * dtemp_c * dtemp_c)
         if tran:
             # BE charge-form companion (capacitor.go:85-105): geq=C/dt with
             # ceq=charge1/dt.  compat uses the reference's one-step-lagged q1
@@ -424,10 +431,16 @@ def assemble_system_ac(cc, params: Dict, state: Dict, jv, freq, temp=TEMP_DEFAUL
     f64 = jnp.float64
 
     if "R" in cc.idx:
-        _two_node_pattern(gacc, cc.idx["R"]["nodes"], 1.0 / params["R"]["value"])
+        pr = params["R"]
+        dtemp = temp - TEMP_DEFAULT
+        rval = pr["value"] * (1.0 + pr["tc1"] * dtemp + pr["tc2"] * dtemp * dtemp)
+        _two_node_pattern(gacc, cc.idx["R"]["nodes"], 1.0 / rval)
 
     if "C" in cc.idx:
-        _two_node_pattern(bacc, cc.idx["C"]["nodes"], omega * params["C"]["value"])
+        pc = params["C"]
+        dtemp_c = temp - TEMP_DEFAULT
+        cval_ac = pc["value"] * (1.0 + pc["tc1"] * dtemp_c + pc["tc2"] * dtemp_c * dtemp_c)
+        _two_node_pattern(bacc, cc.idx["C"]["nodes"], omega * cval_ac)
 
     if "L" in cc.idx:
         # Correct branch-row AC stamp: -v1+v2 - jωL·x_b = 0.  (Deviation: the

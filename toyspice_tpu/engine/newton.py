@@ -25,8 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.assemble import assemble_system, load_gmin
-from ..ops.solve import linear_solve
+from ..ops.assemble import assemble_entries
+from ..ops.pallas_solve import solve_stamped_for
 from .nlstate import update_jv
 from .options import DEFAULTS, SimOptions
 
@@ -62,14 +62,22 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op",
     # system, exactly when the reference's diff check would see inf/nan).
     linear = not any(k in cc.idx for k in ("D", "Q", "M"))
 
-    def nr_linear(params, state, jv_carry, x_init, t, dt, gmin, dc_scale) -> NRResult:
-        a, b = assemble_system(
-            cc, params, state, jv_carry, t, dt, mode,
+    def solve_iteration(params, state, jv_used, t, dt, gmin, dc_scale):
+        """One assemble+solve through the fused stamped-solve: devices emit
+        flat entry values over a static (row, col) pattern; the solver (one
+        Pallas kernel on TPU) builds the system in VMEM, applies the ground
+        row and the gmin diagonal (matrix/circuit.go:107-114), and
+        eliminates."""
+        rows, cols, vals, rrows, rvals = assemble_entries(
+            cc, params, state, jv_used, t, dt, mode,
             status_gmin=gmin, dc_scale=dc_scale, semantics=semantics,
             temp=opts.temp, gmin_floor=opts.gmin,
         )
-        a = load_gmin(a, gmin)
-        x = linear_solve(a, b)
+        solver = solve_stamped_for(cc.np1, rows, cols, rrows)
+        return solver(vals, rvals, jnp.asarray(gmin, dtype=jnp.float64))
+
+    def nr_linear(params, state, jv_carry, x_init, t, dt, gmin, dc_scale) -> NRResult:
+        x = solve_iteration(params, state, jv_carry, t, dt, gmin, dc_scale)
         converged = jnp.all(jnp.isfinite(x))
         return NRResult(x=x, jv=jv_carry, converged=converged, iters=jnp.int32(1))
 
@@ -83,13 +91,7 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op",
                 )
             else:
                 jv_used = jv_next
-            a, b = assemble_system(
-                cc, params, state, jv_used, t, dt, mode,
-                status_gmin=gmin, dc_scale=dc_scale, semantics=semantics,
-                temp=opts.temp, gmin_floor=opts.gmin,
-            )
-            a = load_gmin(a, gmin)
-            x = linear_solve(a, b)
+            x = solve_iteration(params, state, jv_used, t, dt, gmin, dc_scale)
 
             finite = jnp.all(jnp.isfinite(x))
             diff = jnp.abs(x - x_prev)

@@ -150,7 +150,7 @@ def _gather_inductance(cc, params, state, kind_sel, idx_sel, temp,
     return val, i0, i1
 
 
-def assemble_system(
+def _assemble_acc(
     cc,
     params: Dict,
     state: Dict,
@@ -164,8 +164,8 @@ def assemble_system(
     temp=TEMP_DEFAULT,
     semantics: str = "compat",
     gmin_floor: float = 1e-12,
-):
-    """Build (A, b) for the OP/transient Newton iteration.
+) -> _Acc:
+    """Device stamping into an accumulator of (row, col, value) entries.
 
     `jv` is the nonlinear linearization state (per-device junction voltages,
     engine/nlstate.py — what the reference devices hold after UpdateVoltages);
@@ -173,6 +173,12 @@ def assemble_system(
     CircuitStatus.Gmin (stamp-visible gmin: the ladder value in OP/DC, 0 in
     transient); `linear_only` stamps only non-NonLinear devices (the OP
     initial estimate, op.go:90-111).
+
+    The (row, col) arrays are STATIC (host numpy) for a given circuit and
+    mode — only the values are traced — so callers can either scatter into a
+    dense (np1, np1) system (`assemble_system`) or hand the flat entry
+    vectors to a fused build+solve kernel (`assemble_entries` +
+    ops/pallas_solve.solve_stamped).
     """
     assert mode in ("op", "tran")
     tran = mode == "tran"
@@ -401,11 +407,41 @@ def assemble_system(
                 acc.add_rhs(nb, icbd * m_nd)
                 acc.add_rhs(nd, -icbd * m_nb)
 
-    a, b = acc.build(np1)
+    return acc
+
+
+def assemble_system(cc, params, state, jv, t, dt, mode, status_gmin,
+                    dc_scale=1.0, linear_only=False, temp=TEMP_DEFAULT,
+                    semantics="compat", gmin_floor=1e-12):
+    """Build the dense (A, b) for one OP/transient Newton iteration
+    (see _assemble_acc for the argument semantics)."""
+    acc = _assemble_acc(cc, params, state, jv, t, dt, mode, status_gmin,
+                        dc_scale, linear_only, temp, semantics, gmin_floor)
+    a, b = acc.build(cc.np1)
     # ground row: x[0] = 0
     a = a.at[0, :].set(0.0).at[0, 0].set(1.0)
     b = b.at[0].set(0.0)
     return a, b
+
+
+def assemble_entries(cc, params, state, jv, t, dt, mode, status_gmin,
+                     dc_scale=1.0, linear_only=False, temp=TEMP_DEFAULT,
+                     semantics="compat", gmin_floor=1e-12):
+    """Flat-entry form of assemble_system for the fused build+solve kernel:
+    returns (rows, cols, vals, rrows, rvals) where rows/cols/rrows are static
+    numpy index arrays and vals/rvals are the traced per-entry values.
+    Ground-row fixup and the gmin diagonal are NOT applied here — the solver
+    handles both (they are part of its static pattern)."""
+    acc = _assemble_acc(cc, params, state, jv, t, dt, mode, status_gmin,
+                        dc_scale, linear_only, temp, semantics, gmin_floor)
+    rows = np.concatenate(acc.rows) if acc.rows else np.zeros(0, np.int32)
+    cols = np.concatenate(acc.cols) if acc.cols else np.zeros(0, np.int32)
+    vals = (jnp.concatenate(acc.vals) if acc.vals
+            else jnp.zeros(0, dtype=jnp.float64))
+    rrows = np.concatenate(acc.rrows) if acc.rrows else np.zeros(0, np.int32)
+    rvals = (jnp.concatenate(acc.rvals) if acc.rvals
+             else jnp.zeros(0, dtype=jnp.float64))
+    return rows, cols, vals, rrows, rvals
 
 
 def load_gmin(a, gmin):

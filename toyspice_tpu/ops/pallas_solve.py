@@ -86,12 +86,11 @@ def _df_recip(bhi, blo):
     return _df_add(q, jnp.zeros_like(q), chi, clo)
 
 
-def _gj_kernel(n, ahi_ref, alo_ref, bhi_ref, blo_ref, xhi_ref, xlo_ref):
+def _gj_eliminate(n, m_hi, m_lo):
+    """Shared one-hot pivoted Gauss-Jordan over a (n, n+1, blk) double-float
+    augmented stack; returns (x_hi, x_lo) of shape (n, blk)."""
     f32 = jnp.float32
-    blk = ahi_ref.shape[-1]
-    # augmented working matrix (n, n+1, blk) as a hi/lo pair of values
-    m_hi = jnp.concatenate([ahi_ref[...], bhi_ref[...][:, None, :]], axis=1)
-    m_lo = jnp.concatenate([alo_ref[...], blo_ref[...][:, None, :]], axis=1)
+    blk = m_hi.shape[-1]
     used = jnp.zeros((n, blk), dtype=jnp.bool_)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (n, blk), 0)
     colid = jax.lax.broadcasted_iota(jnp.int32, (n + 1, blk), 0)
@@ -138,12 +137,18 @@ def _gj_kernel(n, ahi_ref, alo_ref, bhi_ref, blo_ref, xhi_ref, xlo_ref):
         prows.append(oh)
     rhs_hi = m_hi[:, n, :]
     rhs_lo = m_lo[:, n, :]
-    xhi_ref[...] = jnp.stack(
-        [jnp.sum(prows[k] * rhs_hi, axis=0) for k in range(n)], axis=0
-    )
-    xlo_ref[...] = jnp.stack(
-        [jnp.sum(prows[k] * rhs_lo, axis=0) for k in range(n)], axis=0
-    )
+    x_hi = jnp.stack([jnp.sum(prows[k] * rhs_hi, axis=0) for k in range(n)],
+                     axis=0)
+    x_lo = jnp.stack([jnp.sum(prows[k] * rhs_lo, axis=0) for k in range(n)],
+                     axis=0)
+    return x_hi, x_lo
+
+
+def _gj_kernel(n, ahi_ref, alo_ref, bhi_ref, blo_ref, xhi_ref, xlo_ref):
+    # augmented working matrix (n, n+1, blk) as a hi/lo pair of values
+    m_hi = jnp.concatenate([ahi_ref[...], bhi_ref[...][:, None, :]], axis=1)
+    m_lo = jnp.concatenate([alo_ref[...], blo_ref[...][:, None, :]], axis=1)
+    xhi_ref[...], xlo_ref[...] = _gj_eliminate(n, m_hi, m_lo)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -190,3 +195,209 @@ def pallas_solve_batched(a, b, block: int = 512):
     )(a_hi, a_lo, b_hi, b_lo)
     x = x_hi.astype(jnp.float64) + x_lo.astype(jnp.float64)
     return jnp.transpose(x, (1, 0))[:bsz]
+
+
+# ---------------------------------------------------------------------------
+# Fused build+solve: consume the flat stamp-entry vectors directly.
+#
+# assemble_entries (ops/assemble.py) returns static (row, col) index arrays
+# and traced per-entry values.  Scattering those into a dense (B, n, n) f64
+# system and re-laying it out batch-last costs more XLA ops per Newton
+# iteration than the solve itself.  Here the kernel receives the (nnz, B)
+# value stack and builds the augmented double-float matrix directly in VMEM
+# with exact per-cell compensated sums (cells have 1-4 contributions; the
+# groups are unrolled host-side), applies the ground row and the gmin
+# diagonal, and runs the shared elimination.
+# ---------------------------------------------------------------------------
+
+
+def _cell_groups(n, rows, cols, rrows):
+    """Host-side grouping: (i, j) cell -> list of flat entry indices.
+    Column n holds the RHS (indices into rvals)."""
+    mat = {}
+    for e, (i, j) in enumerate(zip(rows.tolist(), cols.tolist())):
+        mat.setdefault((i, j), []).append(e)
+    rhs = {}
+    for e, i in enumerate(rrows.tolist()):
+        rhs.setdefault(i, []).append(e)
+    return mat, rhs
+
+
+def _build_solve_kernel(n, mat_cells, rhs_cells,
+                        vhi_ref, vlo_ref, rhi_ref, rlo_ref,
+                        ghi_ref, glo_ref, xhi_ref, xlo_ref):
+    f32 = jnp.float32
+    blk = vhi_ref.shape[-1]
+    zero = jnp.zeros((blk,), dtype=f32)
+    one = jnp.ones((blk,), dtype=f32)
+    g_hi = ghi_ref[0, :]
+    g_lo = glo_ref[0, :]
+
+    def cell_sum(src_hi, src_lo, entries, extra=None):
+        if not entries and extra is None:
+            return zero, zero
+        if entries:
+            hi, lo = src_hi[entries[0], :], src_lo[entries[0], :]
+            for e in entries[1:]:
+                hi, lo = _df_add(hi, lo, src_hi[e, :], src_lo[e, :])
+        else:
+            hi, lo = zero, zero
+        if extra is not None:
+            hi, lo = _df_add(hi, lo, extra[0], extra[1])
+        return hi, lo
+
+    row_his, row_los = [], []
+    for i in range(n):
+        col_his, col_los = [], []
+        for j in range(n + 1):
+            if i == 0:
+                # ground row: x[0] = 0 (identity row, zero RHS)
+                col_his.append(one if j == 0 else zero)
+                col_los.append(zero)
+                continue
+            if j == n:
+                hi, lo = cell_sum(rhi_ref, rlo_ref, rhs_cells.get(i, []))
+            else:
+                extra = (g_hi, g_lo) if i == j else None
+                hi, lo = cell_sum(vhi_ref, vlo_ref,
+                                  mat_cells.get((i, j), []), extra)
+            col_his.append(hi)
+            col_los.append(lo)
+        row_his.append(jnp.stack(col_his, axis=0))
+        row_los.append(jnp.stack(col_los, axis=0))
+    m_hi = jnp.stack(row_his, axis=0)  # (n, n+1, blk)
+    m_lo = jnp.stack(row_los, axis=0)
+    xhi_ref[...], xlo_ref[...] = _gj_eliminate(n, m_hi, m_lo)
+
+
+def _hi_lo(x64):
+    hi = x64.astype(jnp.float32)
+    return hi, (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _solve_stamped_cached(n, rows_b, cols_b, rrows_b):
+    rows = np.frombuffer(rows_b, dtype=np.int32)
+    cols = np.frombuffer(cols_b, dtype=np.int32)
+    rrows = np.frombuffer(rrows_b, dtype=np.int32)
+    nnz = len(rows)
+    nrhs = len(rrows)
+    diag = np.arange(1, n)
+    mat_cells, rhs_cells = _cell_groups(n, rows, cols, rrows)
+    kernel = functools.partial(_build_solve_kernel, n, mat_cells, rhs_cells)
+
+    def dense(vals, rvals, gmin):
+        """Batched dense build via scatter (the XLA path)."""
+        bsz = vals.shape[0]
+        a = jnp.zeros((bsz, n, n), dtype=vals.dtype)
+        a = a.at[:, rows, cols].add(vals)
+        b = jnp.zeros((bsz, n), dtype=vals.dtype)
+        if nrhs:
+            b = b.at[:, rrows].add(rvals)
+        a = a.at[:, 0, :].set(0.0)
+        a = a.at[:, 0, 0].set(1.0)
+        b = b.at[:, 0].set(0.0)
+        a = a.at[:, diag, diag].add(gmin[:, None])
+        return a, b
+
+    def pallas_path(vals, rvals, gmin, block=512):
+        bsz = vals.shape[0]
+        if nrhs == 0:  # keep the ref shapes static: one dummy zero row
+            rvals = jnp.zeros((bsz, 1), vals.dtype)
+        blk = min(block, max(128, ((bsz + 127) // 128) * 128))
+        padded = ((bsz + blk - 1) // blk) * blk
+        if padded != bsz:
+            pad = padded - bsz
+            vals = jnp.concatenate(
+                [vals, jnp.zeros((pad, nnz), vals.dtype)], axis=0)
+            rvals = jnp.concatenate(
+                [rvals, jnp.zeros((pad, max(nrhs, 1)), rvals.dtype)], axis=0)
+            gmin = jnp.concatenate([gmin, jnp.zeros(pad, gmin.dtype)], axis=0)
+        v_hi, v_lo = _hi_lo(jnp.transpose(vals, (1, 0)))  # (nnz, B)
+        r_hi, r_lo = _hi_lo(jnp.transpose(rvals, (1, 0)))
+        g_hi, g_lo = _hi_lo(gmin[None, :])  # (1, B)
+
+        zero = np.int32(0)
+        def vec(rows_):
+            return pl.BlockSpec((rows_, blk), lambda i: (zero, i),
+                                memory_space=pltpu.VMEM)
+
+        x_hi, x_lo = pl.pallas_call(
+            kernel,
+            grid=(padded // blk,),
+            in_specs=[vec(nnz), vec(nnz), vec(max(nrhs, 1)), vec(max(nrhs, 1)),
+                      vec(1), vec(1)],
+            out_specs=(vec(n), vec(n)),
+            out_shape=(
+                jax.ShapeDtypeStruct((n, padded), jnp.float32),
+                jax.ShapeDtypeStruct((n, padded), jnp.float32),
+            ),
+        )(v_hi, v_lo, r_hi, r_lo, g_hi, g_lo)
+        x = x_hi.astype(jnp.float64) + x_lo.astype(jnp.float64)
+        return jnp.transpose(x, (1, 0))[:bsz]
+
+    @jax.custom_batching.custom_vmap
+    def solve_stamped(vals, rvals, gmin):
+        """x from flat stamp entries: vals (nnz,), rvals (nrhs,), gmin scalar.
+        Applies ground row, RHS scatter and the gmin diagonal itself.
+
+        The body is deliberately CONST-FREE (python-int indexing over the
+        static cell groups, no index-array scatter): jaxpr constants of a
+        custom_vmap body get broadcast to batched by lax.cond's batching
+        rule, which trips custom_vmap's unbatched-consts assertion — the OP
+        rescue ladder wraps every Newton call in exactly such a cond."""
+        from .solve import _solve_batched
+
+        zero = jnp.float64(0.0)
+        arows = []
+        brows = []
+        for i in range(n):
+            acols = []
+            if i == 0:  # ground row: x[0] = 0
+                arows.append(jnp.stack(
+                    [jnp.float64(1.0)] + [zero] * (n - 1)))
+                brows.append(zero)
+                continue
+            for j in range(n):
+                v = zero
+                for e in mat_cells.get((i, j), ()):
+                    v = v + vals[e]
+                if i == j:
+                    v = v + gmin
+                acols.append(v)
+            arows.append(jnp.stack(acols))
+            bv = zero
+            for e in rhs_cells.get(i, ()):
+                bv = bv + rvals[e]
+            brows.append(bv)
+        a = jnp.stack(arows)
+        b = jnp.stack(brows)
+        return _solve_batched(a[None], b[None])[0]
+
+    @solve_stamped.def_vmap
+    def _solve_stamped_vmap(axis_size, in_batched, vals, rvals, gmin):
+        vb, rb, gb = in_batched
+        if not vb:
+            vals = jnp.broadcast_to(vals, (axis_size,) + vals.shape)
+        if not rb:
+            rvals = jnp.broadcast_to(rvals, (axis_size,) + rvals.shape)
+        if not gb:
+            gmin = jnp.broadcast_to(gmin, (axis_size,))
+        from .solve import _solver_backend, _solve_batched
+
+        if _solver_backend() == "pallas":
+            return pallas_path(vals, rvals, gmin), True
+        a, b = dense(vals, rvals, gmin)
+        return _solve_batched(a, b), True
+
+    return solve_stamped
+
+
+def solve_stamped_for(n, rows, cols, rrows):
+    """Get (cached) the fused stamped-solve for a static stamp pattern."""
+    return _solve_stamped_cached(
+        int(n),
+        np.asarray(rows, np.int32).tobytes(),
+        np.asarray(cols, np.int32).tobytes(),
+        np.asarray(rrows, np.int32).tobytes(),
+    )

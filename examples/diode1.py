@@ -7,6 +7,14 @@ analysis, ripple report on the smoothed output.
 import os
 import sys
 
+# Single-instance examples are latency-bound: run on the host CPU unless the
+# user asks for an accelerator (TOYSPICE_PLATFORM=tpu/auto).
+_plat = os.environ.get("TOYSPICE_PLATFORM", "cpu")
+if _plat != "auto":
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -8,6 +8,14 @@ power consumption.
 import os
 import sys
 
+# Single-instance examples are latency-bound: run on the host CPU unless the
+# user asks for an accelerator (TOYSPICE_PLATFORM=tpu/auto).
+_plat = os.environ.get("TOYSPICE_PLATFORM", "cpu")
+if _plat != "auto":
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from toyspice_tpu import compile_circuit, run_op

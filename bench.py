@@ -89,4 +89,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled axon TPU worker occasionally crashes on a large first
+    # compile ("TPU worker process crashed or restarted") and recovers in a
+    # fresh process ~20s later; one re-exec keeps the benchmark run alive.
+    if os.environ.get("TOYSPICE_BENCH_RETRIED") != "1":
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 - deliberately broad: re-exec once
+            print(f"bench attempt failed ({type(e).__name__}: {e}); "
+                  "retrying in a fresh process", file=sys.stderr)
+            time.sleep(20)
+            os.environ["TOYSPICE_BENCH_RETRIED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+    else:
+        main()

@@ -17,8 +17,10 @@ from .utils.formatter import (
 )
 
 
-def print_results(results, out=sys.stdout):
-    w = out.write
+def print_results(results, out=None):
+    # resolve stdout at call time (an import-time default would pin whatever
+    # stream was active when the module first loaded, e.g. a test capture)
+    w = (out or sys.stdout).write
     w("\nAnalysis Results:\n")
     w("================\n")
 
@@ -96,6 +98,18 @@ def print_results(results, out=sys.stdout):
         w("\n")
 
 
+def _run(src, engine: str):
+    if engine in ("host", "host-native"):
+        from .compiler import compile_circuit
+        from .hostsim import run_host_analysis, set_solver
+        from .netlist.parser import parse
+
+        set_solver("native" if engine == "host-native" else "numpy")
+        cc = src if not isinstance(src, str) else compile_circuit(parse(src))
+        return run_host_analysis(cc)
+    return run_analysis(src)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="tspice",
@@ -108,6 +122,15 @@ def main(argv=None):
         help="print the parse report, per-element expected stamps and the "
              "assembled MNA system before solving (the reference CLI's "
              "procWithPrintSystem pipeline)",
+    )
+    parser.add_argument(
+        "--engine",
+        choices=["xla", "host", "host-native"],
+        default="xla",
+        help="xla (default): the compiled JAX engine.  host: the sequential "
+             "host engine (no XLA compilation — milliseconds for a one-shot "
+             "run).  host-native: host engine solving through the C++ sparse "
+             "LU (native/sparse_lu.cc).",
     )
     parser.add_argument(
         "--platform",
@@ -152,9 +175,9 @@ def main(argv=None):
             debug.print_element_details(cc)
             debug.print_system(cc)
             print("\n[4] Running analysis")
-            results = run_analysis(cc)
+            results = _run(cc, args.engine)
         else:
-            results = run_analysis(text)
+            results = _run(text, args.engine)
     except Exception as e:
         print(f"Analysis failed: {e}", file=sys.stderr)
         return 1

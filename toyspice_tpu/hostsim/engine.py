@@ -39,6 +39,41 @@ MAX_ITER = 100
 TRTOL = 7.0
 
 
+_SOLVER = "numpy"
+
+
+def set_solver(name: str):
+    """Pick the host solver: 'numpy' (dense partial-pivot GE) or 'native'
+    (the C++ sparse LU, native/sparse_lu.cc — the Berkeley-Sparse-lineage
+    counterpart of the reference's solver, pkg/matrix/circuit.go)."""
+    global _SOLVER
+    if name not in ("numpy", "native"):
+        raise ValueError(f"unknown host solver {name!r}")
+    if name == "native":
+        from toyspice_tpu import native
+
+        if not native.available():
+            raise RuntimeError("native C++ solver unavailable (g++/make)")
+    _SOLVER = name
+
+
+def _native_solve(a, b):
+    from toyspice_tpu import native
+
+    n = a.shape[0]
+    s = native.SparseSolver(n)
+    s.add_matrix(np.asarray(a, dtype=np.float64))
+    if not s.factor():
+        return np.full(n, np.inf)  # singular: same non-finite signal as GE
+    return s.solve(np.asarray(b, dtype=np.float64))
+
+
+def solve(a, b):
+    if _SOLVER == "native":
+        return _native_solve(a, b)
+    return ge_solve(a, b)
+
+
 def ge_solve(a, b):
     """Partial-pivot Gaussian elimination, same algorithm as ops/solve.py."""
     n = a.shape[0]
@@ -1066,7 +1101,7 @@ class OracleCircuit:
             A, b = self.assemble(st)
             n = A.shape[0]
             A[np.arange(1, n), np.arange(1, n)] += st.gmin
-            x = ge_solve(A, b)
+            x = solve(A, b)
             if k > 0 and np.all(np.isfinite(x)):
                 diff = np.abs(x - x_prev)
                 if conv == "dc":
@@ -1083,7 +1118,7 @@ class OracleCircuit:
             v.scale = dc_scale
         st = Status(mode="op")
         A, b = self.assemble(st, linear_only=True)
-        x = ge_solve(A, b)
+        x = solve(A, b)
         for v in self.vsources:
             v.scale = 1.0
         if not np.all(np.isfinite(x)):
@@ -1221,7 +1256,7 @@ class OracleCircuit:
             bi[0] = 0.0
             A2 = np.block([[G, -B], [B, G]])
             b2 = np.concatenate([br, bi])
-            x2 = ge_solve(A2, b2)
+            x2 = solve(A2, b2)
             out_r.append(x2[: self.np1])
             out_i.append(x2[self.np1 :])
         return np.array(out_r), np.array(out_i)

@@ -300,7 +300,11 @@ def _solve_stamped_cached(n, rows_b, cols_b, rrows_b):
         a = a.at[:, diag, diag].add(gmin[:, None])
         return a, b
 
-    def pallas_path(vals, rvals, gmin, block=512):
+    def pallas_path(vals, rvals, gmin, block=None):
+        if block is None:
+            import os
+
+            block = int(os.environ.get("TOYSPICE_BLOCK", "512"))
         bsz = vals.shape[0]
         if nrhs == 0:  # keep the ref shapes static: one dummy zero row
             rvals = jnp.zeros((bsz, 1), vals.dtype)

@@ -8,13 +8,9 @@ coupling/bypass capacitors — DC operating point, then a transient run with a
 import os
 import sys
 
-# Single-instance examples are latency-bound: run on the host CPU unless the
-# user asks for an accelerator (TOYSPICE_PLATFORM=tpu/auto).
-_plat = os.environ.get("TOYSPICE_PLATFORM", "cpu")
-if _plat != "auto":
-    import jax
+import _platform  # noqa: E402  (shared CPU-default platform selection)
 
-    jax.config.update("jax_platforms", _plat)
+_platform.select()
 
 import numpy as np
 

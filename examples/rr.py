@@ -8,13 +8,9 @@ power consumption.
 import os
 import sys
 
-# Single-instance examples are latency-bound: run on the host CPU unless the
-# user asks for an accelerator (TOYSPICE_PLATFORM=tpu/auto).
-_plat = os.environ.get("TOYSPICE_PLATFORM", "cpu")
-if _plat != "auto":
-    import jax
+import _platform  # noqa: E402  (shared CPU-default platform selection)
 
-    jax.config.update("jax_platforms", _plat)
+_platform.select()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

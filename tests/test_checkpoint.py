@@ -1,6 +1,7 @@
 """Checkpoint/resume: the transient state pytree round-trips through .npz
-and a resumed run continues from the committed state (a capability the
-single-process reference lacks entirely — SURVEY.md §5)."""
+and a resumed run continues from the committed state AND the committed
+simulation time (so time-varying sources keep their phase) — a capability
+the single-process reference lacks entirely (SURVEY.md §5)."""
 
 import numpy as np
 import pytest
@@ -18,13 +19,20 @@ R1 1 2 1k
 C1 2 0 1u
 """
 
+RC_SIN = """* rc sine drive
+.tran 0.02m 1m uic
+V1 1 0 SIN(0 5 2k)
+R1 1 2 1k
+C1 2 0 100n
+"""
+
 
 def test_roundtrip(tmp_path):
     cc = compile_circuit(parse(RC))
     r = ts.run_transient(RC)
     path = str(tmp_path / "ckpt.npz")
-    save_checkpoint(path, r.final_state, t=r.final_time, note=1.5)
-    state, meta = load_checkpoint(path, cc)
+    save_checkpoint(path, r.final_state, jv=r.final_jv, t=r.final_time, note=1.5)
+    state, jv, meta = load_checkpoint(path, cc)
     assert float(meta["t"]) == r.final_time
     assert float(meta["note"]) == 1.5
     for kind, tbl in r.final_state.items():
@@ -33,18 +41,35 @@ def test_roundtrip(tmp_path):
 
 
 def test_resume_continues_charging(tmp_path):
-    # RC time constant 1 ms: after the first 1 ms window the cap is ~63%
-    # charged; resuming for another window continues toward 5 V rather than
-    # restarting from 0.
     r1 = ts.run_transient(RC)
     v_end1 = r1["V(2)"][-1]
     # compat semantics: the reference's one-step-lagged capacitor companion
     # undershoots the textbook 5(1-1/e)=3.16 V (PLAN.md 3)
     assert 1.5 < v_end1 < 4.0
-    r2 = ts.run_transient(RC, initial_state=r1.final_state)
+    assert abs(r1.final_time - 1e-3) < 1e-12
+    r2 = ts.run_transient(RC, tstop=2e-3, initial_state=r1.final_state,
+                          resume_t=r1.final_time)
     v_end2 = r2["V(2)"][-1]
     assert v_end2 > v_end1  # kept charging from the checkpointed state
     assert r2["V(2)"][0] > 0.8 * v_end1  # started charged, not from zero
+    assert r2["TIME"][0] >= r1.final_time  # clock continued, not restarted
+
+
+def test_resume_preserves_source_phase(tmp_path):
+    # split run [0, 0.5ms] + [0.5ms, 1ms] must track the uninterrupted run:
+    # with a SIN source, a resume that restarted the clock at 0 would replay
+    # the waveform out of phase and diverge wildly.
+    full = ts.run_transient(RC_SIN)
+    half = ts.run_transient(RC_SIN, tstop=0.5e-3)
+    rest = ts.run_transient(RC_SIN, tstop=1e-3,
+                            initial_state=half.final_state,
+                            resume_t=half.final_time,
+                            initial_jv=half.final_jv)
+    v_split = rest["V(2)"][-1]
+    v_full = full["V(2)"][-1]
+    # different step grids near the seam -> loose tolerance, but phase-correct
+    assert abs(v_split - v_full) < 0.15 * max(1.0, abs(v_full))
+    assert rest["TIME"][0] >= half.final_time
 
 
 def test_structure_validation(tmp_path):

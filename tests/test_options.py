@@ -66,3 +66,43 @@ def test_options_hashable_cache_key():
     b = SimOptions(temp=350.0)
     assert a == b and hash(a) == hash(b)
     assert a != DEFAULTS
+
+
+def test_tc_parity_across_backends():
+    # the programmatic tc1/tc2 feature must agree between the XLA engine and
+    # the host/parity backend at a non-default temperature
+    from toyspice_tpu import hostsim
+    from toyspice_tpu.compiler import compile_circuit
+    from toyspice_tpu.netlist.parser import parse
+    from toyspice_tpu.engine.op import make_op
+    from toyspice_tpu.engine.state import init_state
+    import jax
+    import jax.numpy as jnp
+
+    deck = """tc divider
+.op
+Vin in 0 DC 10
+R1 in mid 1k
+R2 mid 0 1k
+"""
+    cc = compile_circuit(parse(deck))
+    cc.params["R"]["tc1"][0] = 0.01  # R1 drifts with temperature, R2 doesn't
+
+    opts = SimOptions(temp=350.0)
+    op_execute, _ = make_op(cc, opts)
+    params = {k: {kk: jnp.asarray(vv) for kk, vv in t.items()}
+              for k, t in cc.params.items()}
+    r = jax.jit(op_execute)(params, init_state(cc))
+    v_xla = float(np.asarray(r.x)[cc.node_map["mid"]])
+
+    # host engine at the same simulation temperature
+    from toyspice_tpu.hostsim.engine import OracleCircuit
+    oc = OracleCircuit(cc, temp=350.0)
+    x, ok = oc.op()
+    assert ok
+    v_host = float(x[cc.node_map["mid"]])
+
+    # analytic: R1(350) = 1k*(1+0.01*49.85) = 1498.5, divider 10*R2/(R2+R1)
+    expect = 10.0 * 1000.0 / (1000.0 + 1000.0 * (1 + 0.01 * (350.0 - 300.15)))
+    np.testing.assert_allclose(v_xla, expect, rtol=1e-10)
+    np.testing.assert_allclose(v_host, expect, rtol=1e-10)

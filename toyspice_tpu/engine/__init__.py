@@ -73,10 +73,14 @@ def run_op(src, options: SimOptions = DEFAULTS) -> Results:
 def run_transient(src, tstart=None, tstop=None, tstep=None, tmax=None, uic=None,
                   semantics: str = "compat",
                   options: SimOptions = DEFAULTS,
-                  initial_state=None) -> Results:
-    """initial_state: a committed state pytree (e.g. from a checkpoint,
-    engine/checkpoint.py) to resume from; defaults to the zero state.  The
-    returned Results carries .final_state / .final_time for checkpointing."""
+                  initial_state=None, resume_t: float = 0.0,
+                  initial_jv=None) -> Results:
+    """Resume support: pass a checkpoint's (initial_state, resume_t,
+    initial_jv) — from a prior run's .final_state/.final_time/.final_jv or
+    engine/checkpoint.py — to continue a transient from its committed state:
+    the clock starts at resume_t (so time-varying sources keep their phase),
+    the OP re-bias is skipped, and tstart/tstop stay absolute.  The returned
+    Results carries .final_state / .final_time / .final_jv."""
     cc = _to_compiled(src)
     tp = cc.netlist.tran
     cfg = build_config(
@@ -87,23 +91,32 @@ def run_transient(src, tstart=None, tstop=None, tstep=None, tmax=None, uic=None,
         uic if uic is not None else tp.uic,
         opts=options,
     )
+    resume = initial_state is not None
     cache = _engine_cache(cc)
-    key = ("tran", cfg, semantics, options)
+    key = ("tran", cfg, semantics, options, resume)
     if key not in cache:
         cache[key] = jax.jit(make_tran(cc, cfg, semantics=semantics, store="full",
-                                       opts=options))
+                                       opts=options, resume=resume))
     params = _params(cc)
-    if initial_state is None:
-        state = init_state(cc)
+
+    def _as_jnp(tree):
+        return {k: {kk: jnp.asarray(vv) for kk, vv in t.items()}
+                for k, t in tree.items()}
+
+    if resume:
+        from .nlstate import init_jv
+
+        state = _as_jnp(initial_state)
+        jv0 = _as_jnp(initial_jv) if initial_jv is not None else init_jv(cc)
+        out = cache[key](params, state, jnp.float64(resume_t), jv0)
     else:
-        state = {k: {kk: jnp.asarray(vv) for kk, vv in t.items()}
-                 for k, t in initial_state.items()}
-    out = cache[key](params, state)
+        out = cache[key](params, init_state(cc))
     if bool(out.fail):
         raise RuntimeError("transient failed to converge at minimum timestep")
     r = results_mod.from_tran(cc, out.out_t, out.out_x, out.out_n)
     r.final_state = jax.tree_util.tree_map(np.asarray, out.state)
-    r.final_time = float(np.asarray(out.out_t)[max(int(out.out_n) - 1, 0)])
+    r.final_jv = jax.tree_util.tree_map(np.asarray, out.jv)
+    r.final_time = float(np.asarray(out.t_final))
     return r
 
 

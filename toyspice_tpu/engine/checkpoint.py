@@ -25,28 +25,41 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 _META_PREFIX = "__meta__/"
+_JV_PREFIX = "__jv__/"
 
 
-def save_checkpoint(path: str, state: Dict, **meta) -> None:
-    """Write a state pytree (dict-of-dicts of arrays) plus scalar metadata."""
+def save_checkpoint(path: str, state: Dict, jv: Optional[Dict] = None,
+                    **meta) -> None:
+    """Write a state pytree (dict-of-dicts of arrays), the optional device
+    linearization pytree `jv` (needed to resume nonlinear circuits without an
+    OP re-bias), plus scalar metadata — e.g. ``t=result.final_time``."""
     flat = {}
     for kind, tbl in state.items():
         for key, val in tbl.items():
             flat[f"{kind}/{key}"] = np.asarray(val)
+    for kind, tbl in (jv or {}).items():
+        for key, val in tbl.items():
+            flat[f"{_JV_PREFIX}{kind}/{key}"] = np.asarray(val)
     for key, val in meta.items():
         flat[_META_PREFIX + key] = np.asarray(val)
     np.savez(path, **flat)
 
 
-def load_checkpoint(path: str, cc=None) -> Tuple[Dict, Dict]:
-    """Read (state, meta).  With a CompiledCircuit, validates that the
-    checkpoint's structure and shapes match the circuit's state template."""
+def load_checkpoint(path: str, cc=None) -> Tuple[Dict, Optional[Dict], Dict]:
+    """Read (state, jv, meta); jv is None if the checkpoint carries none.
+    With a CompiledCircuit, validates that the checkpoint's structure and
+    shapes match the circuit's state template."""
     with np.load(path) as data:
         state: Dict = {}
+        jv: Dict = {}
         meta: Dict = {}
         for key in data.files:
             if key.startswith(_META_PREFIX):
                 meta[key[len(_META_PREFIX):]] = data[key][()]
+                continue
+            if key.startswith(_JV_PREFIX):
+                kind, field = key[len(_JV_PREFIX):].split("/", 1)
+                jv.setdefault(kind, {})[field] = data[key]
                 continue
             kind, field = key.split("/", 1)
             state.setdefault(kind, {})[field] = data[key]
@@ -74,4 +87,4 @@ def load_checkpoint(path: str, cc=None) -> Tuple[Dict, Dict]:
                         f"checkpoint shape mismatch for {kind}/{field}: "
                         f"{got} vs circuit {want}"
                     )
-    return state, meta
+    return state, (jv or None), meta

@@ -31,9 +31,6 @@ from .nlstate import init_jv
 from .options import DEFAULTS, SimOptions
 from .state import make_commit, make_lte
 
-TRTOL = 7.0  # SPICE3F5 default (tran.go:50)
-
-
 class TranConfig(NamedTuple):
     tstart: float
     tstop: float
@@ -71,12 +68,18 @@ class TranOutput(NamedTuple):
     accepted: jnp.ndarray  # accepted steps (incl. pre-tstart)
     attempts: jnp.ndarray
     nr_iters: jnp.ndarray  # total Newton iterations
+    t_final: jnp.ndarray  # committed simulation time on exit
     state: dict
     jv: dict
 
 
 def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full",
-              opts: SimOptions = DEFAULTS):
+              opts: SimOptions = DEFAULTS, resume: bool = False):
+    """resume=False: the reference flow (OP warm-up unless UIC, clock starts
+    at 0; execute(params, state0)).  resume=True: continue a checkpointed
+    run: execute(params, state0, t0, jv0) skips the OP re-bias, starts the
+    clock at the checkpoint time t0 and carries the checkpointed device
+    linearization jv0; cfg.tstart/tstop stay absolute."""
     np1 = cc.np1
     trtol = opts.trtol
     nr = make_nr(cc, mode="tran", warm_start=True, conv="op",
@@ -87,19 +90,22 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
 
     k_store = cfg.max_store if store == "full" else 1
 
-    def tran_execute(params, state0) -> TranOutput:
+    def tran_execute(params, state0, t0=0.0, jv0=None) -> TranOutput:
         zeros = jnp.zeros(np1, dtype=jnp.float64)
 
-        if not cfg.uic:
+        if resume:
+            assert jv0 is not None, "resume=True requires the checkpointed jv"
+        elif not cfg.uic:
             opr = op_execute(params, state0)
             jv0 = opr.jv
         else:
             jv0 = init_jv(cc)
 
+        t0 = jnp.asarray(t0, dtype=jnp.float64)
         carry0 = dict(
-            t=jnp.float64(0.0),
+            t=t0,
             dt=jnp.float64(cfg.minstep),
-            done=jnp.asarray(False),
+            done=t0 >= cfg.tstop,
             fail=jnp.asarray(False),
             state=state0,
             jv=jv0,
@@ -174,7 +180,7 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
         return TranOutput(
             out_x=c["out_x"], out_t=c["out_t"], out_n=c["out_n"], fail=c["fail"],
             accepted=c["accepted"], attempts=c["attempts"], nr_iters=c["nr_iters"],
-            state=c["state"], jv=c["jv"],
+            t_final=c["t"], state=c["state"], jv=c["jv"],
         )
 
     return tran_execute

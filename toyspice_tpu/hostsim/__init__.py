@@ -52,6 +52,8 @@ def run_host_analysis(cc):
         if dp.source2:
             sweeps.append(sweep_values(dp.start2, dp.stop2, dp.increment2))
         pts, xs = oracle_dc(cc, names, sweeps)
+        if not dp.source2:
+            pts = pts[:, 0]  # from_dc expects (P,) for a single sweep
         return results_mod.from_dc(cc, pts, xs, nested=bool(dp.source2))
     raise RuntimeError(f"unsupported analysis type: {cc.analysis}")
 

@@ -149,11 +149,14 @@ class Status:
 
 
 class Resistor(Dev):
-    def __init__(self, name, n1, n2, value):
+    def __init__(self, name, n1, n2, value, tc1=0.0, tc2=0.0):
         self.name, self.n1, self.n2, self.value = name, n1, n2, value
+        self.tc1, self.tc2 = tc1, tc2
 
     def stamp(self, A, b, st):
-        g = 1.0 / self.value
+        # quadratic temperature adjustment (resistor.go:77-81), Tnom 300.15 K
+        dt_ = st.temp - TEMP
+        g = 1.0 / (self.value * (1.0 + self.tc1 * dt_ + self.tc2 * dt_ * dt_))
         n1, n2 = self.n1, self.n2
         if n1:
             A[n1, n1] += g
@@ -171,14 +174,21 @@ class Resistor(Dev):
 class Capacitor(Dev):
     time_dependent = True
 
-    def __init__(self, name, n1, n2, value):
+    def __init__(self, name, n1, n2, value, tc1=0.0, tc2=0.0):
         self.name, self.n1, self.n2, self.value = name, n1, n2, value
+        self.tc1, self.tc2 = tc1, tc2
         self.v0 = self.v1 = self.q0 = self.q1 = 0.0
+
+    def _adjusted(self, temp):
+        # capacitor.go:180-184; UpdateState/LTE use the raw value like the
+        # reference (capacitor.go:155-178)
+        dt_ = temp - TEMP
+        return self.value * (1.0 + self.tc1 * dt_ + self.tc2 * dt_ * dt_)
 
     def stamp(self, A, b, st):
         n1, n2 = self.n1, self.n2
         if st.mode == "tran":
-            geq = self.value / st.dt
+            geq = self._adjusted(st.temp) / st.dt
             ceq = self.q1 / st.dt
             if n1:
                 A[n1, n1] += geq
@@ -203,15 +213,16 @@ class Capacitor(Dev):
 
     def stamp_ac(self, G, B, br, bi, st):
         w = 2 * math.pi * st.freq
+        wc = w * self._adjusted(st.temp)
         n1, n2 = self.n1, self.n2
         if n1:
-            B[n1, n1] += w * self.value
+            B[n1, n1] += wc
             if n2:
-                B[n1, n2] -= w * self.value
+                B[n1, n2] -= wc
         if n2:
-            B[n2, n2] += w * self.value
+            B[n2, n2] += wc
             if n1:
-                B[n2, n1] -= w * self.value
+                B[n2, n1] -= wc
 
     def update_state(self, x, st):
         vd = (x[self.n1] if self.n1 else 0.0) - (x[self.n2] if self.n2 else 0.0)
@@ -968,8 +979,9 @@ class OracleCircuit:
     """Builds oracle devices from a CompiledCircuit (shares only the parsed
     tables, not any engine compute code)."""
 
-    def __init__(self, cc: CompiledCircuit):
+    def __init__(self, cc: CompiledCircuit, temp: float = TEMP):
         self.cc = cc
+        self.temp = temp
         self.np1 = cc.np1
         self.devices = []
         self.vsources = []
@@ -985,13 +997,17 @@ class OracleCircuit:
 
         made = {}
         if "R" in cc.idx:
+            pr = cc.params["R"]
             for i, name in enumerate(cc.names["R"]):
                 n1, n2 = nodes("R", i)
-                made[name] = Resistor(name, n1, n2, float(cc.params["R"]["value"][i]))
+                made[name] = Resistor(name, n1, n2, float(pr["value"][i]),
+                                      float(pr["tc1"][i]), float(pr["tc2"][i]))
         if "C" in cc.idx:
+            pc = cc.params["C"]
             for i, name in enumerate(cc.names["C"]):
                 n1, n2 = nodes("C", i)
-                made[name] = Capacitor(name, n1, n2, float(cc.params["C"]["value"][i]))
+                made[name] = Capacitor(name, n1, n2, float(pc["value"][i]),
+                                       float(pc["tc1"][i]), float(pc["tc2"][i]))
         if "L" in cc.idx:
             for i, name in enumerate(cc.names["L"]):
                 n1, n2 = nodes("L", i)
@@ -1066,7 +1082,7 @@ class OracleCircuit:
         s.stype = int(cc.idx[kind]["stype"][i])
         for f in ("dc", "amplitude", "freq", "phase", "v1", "v2", "delay",
                   "rise", "fall", "width", "period", "ac_mag", "ac_phase"):
-            setattr(s, f if f not in ("ac_mag", "ac_phase") else f, float(p[f][i]))
+            setattr(s, f, float(p[f][i]))
         # strip PWL padding (pad times are ≥1e29)
         ts = [t for t in p["pwl_t"][i] if t < 1e29]
         s.pwl_t = ts
@@ -1116,7 +1132,7 @@ class OracleCircuit:
     def initial_estimate(self, dc_scale=1.0):
         for v in self.vsources:
             v.scale = dc_scale
-        st = Status(mode="op")
+        st = Status(mode="op", temp=self.temp)
         A, b = self.assemble(st, linear_only=True)
         x = solve(A, b)
         for v in self.vsources:
@@ -1126,7 +1142,7 @@ class OracleCircuit:
         return x
 
     def op(self):
-        st = Status(mode="op", gmin=0.0)
+        st = Status(mode="op", gmin=0.0, temp=self.temp)
         seed = self.initial_estimate()
         x, ok, _ = self.nr(st, seed)
         if ok:
@@ -1135,13 +1151,13 @@ class OracleCircuit:
         cur = x
         gmin = self.cc.n * 0.001 * 10.0 ** 10
         for i in range(11):
-            sti = Status(mode="op", gmin=gmin)
+            sti = Status(mode="op", gmin=gmin, temp=self.temp)
             xi, oki, _ = self.nr(sti, cur)
             if not oki:
                 break
             cur = xi
             gmin /= 10.0
-        x, ok, _ = self.nr(Status(mode="op", gmin=0.0), cur)
+        x, ok, _ = self.nr(Status(mode="op", gmin=0.0, temp=self.temp), cur)
         if ok:
             return x, True
         # source stepping
@@ -1151,14 +1167,14 @@ class OracleCircuit:
         while f <= 1.0:
             for v in self.vsources:
                 v.scale = f
-            cur, oki, _ = self.nr(Status(mode="op", gmin=0.0), cur)
+            cur, oki, _ = self.nr(Status(mode="op", gmin=0.0, temp=self.temp), cur)
             if not oki:
                 ok = False
                 break
             f += 0.1
         for v in self.vsources:
             v.scale = 1.0
-        x, okf, _ = self.nr(Status(mode="op", gmin=0.0), cur)
+        x, okf, _ = self.nr(Status(mode="op", gmin=0.0, temp=self.temp), cur)
         return x, ok and okf
 
     def tran(self, tstart, tstop, tstep, tmax, uic):
@@ -1186,7 +1202,7 @@ class OracleCircuit:
             if next_t > tstop:
                 next_t = tstop
                 dt = next_t - t
-            st = Status(mode="tran", time=t, dt=dt, gmin=0.0)
+            st = Status(mode="tran", time=t, dt=dt, gmin=0.0, temp=self.temp)
             x, ok, _ = self.nr(st, np.zeros(self.np1), warm_start=True)
             if not ok:
                 if dt > minstep:
@@ -1228,7 +1244,7 @@ class OracleCircuit:
         for vals in grid:
             for s, v in zip(slots, vals):
                 s.s.dc = v
-            st = Status(mode="op", gmin=0.0)
+            st = Status(mode="op", gmin=0.0, temp=self.temp)
             x, ok, _ = self.nr(st, np.zeros(self.np1), warm_start=True, conv="dc")
             if not ok:
                 raise RuntimeError(f"oracle dc failed at {vals}")
@@ -1242,7 +1258,7 @@ class OracleCircuit:
             raise RuntimeError("oracle OP failed")
         out_r, out_i = [], []
         for f in freqs:
-            st = Status(mode="ac", freq=f, gmin=0.0)
+            st = Status(mode="ac", freq=f, gmin=0.0, temp=self.temp)
             G = np.zeros((self.np1, self.np1))
             B = np.zeros((self.np1, self.np1))
             br = np.zeros(self.np1)

@@ -32,6 +32,13 @@ from ..models import mosfet as mos_model
 from ..models.sources import eval_sources, eval_sources_ac
 
 
+def _tadjust(tbl, temp):
+    """Quadratic temperature adjustment value*(1 + tc1*dT + tc2*dT^2) at
+    Tnom 300.15 K (resistor.go:77-81, capacitor.go:180-184)."""
+    dtemp = temp - TEMP_DEFAULT
+    return tbl["value"] * (1.0 + tbl["tc1"] * dtemp + tbl["tc2"] * dtemp * dtemp)
+
+
 def _scatter(np1, rows, cols, vals):
     a = jnp.zeros((np1, np1), dtype=vals.dtype)
     return a.at[rows, cols].add(vals)
@@ -186,23 +193,17 @@ def _assemble_acc(
     acc = _Acc()
     f64 = jnp.float64
 
-    # --- resistors (resistor.go:32-75) with the quadratic temperature
-    # adjustment R(T) = R·(1 + tc1·dT + tc2·dT²), Tnom = 300.15 K
-    # (resistor.go:77-81; tc defaults are 0 so the factor is exactly 1) ---
+    # --- resistors (resistor.go:32-75), temperature-adjusted; tc defaults
+    # are 0 so the factor is exactly 1 ---
     if "R" in cc.idx:
-        pr = params["R"]
-        dtemp = temp - TEMP_DEFAULT
-        rval = pr["value"] * (1.0 + pr["tc1"] * dtemp + pr["tc2"] * dtemp * dtemp)
-        g = 1.0 / rval
+        g = 1.0 / _tadjust(params["R"], temp)
         _two_node_pattern(acc, cc.idx["R"]["nodes"], g)
 
-    # --- capacitors, with the same quadratic temperature adjustment
-    # (capacitor.go:180-184; tc defaults 0) ---
+    # --- capacitors (temperature-adjusted like the reference; the companion
+    # charge and LTE use the raw value, capacitor.go:155-178) ---
     if "C" in cc.idx:
         nodes = cc.idx["C"]["nodes"]
-        pc = params["C"]
-        dtemp_c = temp - TEMP_DEFAULT
-        cval = pc["value"] * (1.0 + pc["tc1"] * dtemp_c + pc["tc2"] * dtemp_c * dtemp_c)
+        cval = _tadjust(params["C"], temp)
         if tran:
             # BE charge-form companion (capacitor.go:85-105): geq=C/dt with
             # ceq=charge1/dt.  compat uses the reference's one-step-lagged q1
@@ -467,16 +468,12 @@ def assemble_system_ac(cc, params: Dict, state: Dict, jv, freq, temp=TEMP_DEFAUL
     f64 = jnp.float64
 
     if "R" in cc.idx:
-        pr = params["R"]
-        dtemp = temp - TEMP_DEFAULT
-        rval = pr["value"] * (1.0 + pr["tc1"] * dtemp + pr["tc2"] * dtemp * dtemp)
-        _two_node_pattern(gacc, cc.idx["R"]["nodes"], 1.0 / rval)
+        _two_node_pattern(gacc, cc.idx["R"]["nodes"],
+                          1.0 / _tadjust(params["R"], temp))
 
     if "C" in cc.idx:
-        pc = params["C"]
-        dtemp_c = temp - TEMP_DEFAULT
-        cval_ac = pc["value"] * (1.0 + pc["tc1"] * dtemp_c + pc["tc2"] * dtemp_c * dtemp_c)
-        _two_node_pattern(bacc, cc.idx["C"]["nodes"], omega * cval_ac)
+        _two_node_pattern(bacc, cc.idx["C"]["nodes"],
+                          omega * _tadjust(params["C"], temp))
 
     if "L" in cc.idx:
         # Correct branch-row AC stamp: -v1+v2 - jωL·x_b = 0.  (Deviation: the

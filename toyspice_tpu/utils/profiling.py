@@ -28,12 +28,15 @@ _registry: Dict[str, Dict[str, float]] = defaultdict(
 @contextlib.contextmanager
 def trace(label: str):
     t0 = time.perf_counter()
-    with jax.profiler.TraceAnnotation(label):
-        yield
-    dt = time.perf_counter() - t0
-    entry = _registry[label]
-    entry["calls"] += 1
-    entry["total_s"] += dt
+    try:
+        with jax.profiler.TraceAnnotation(label):
+            yield
+    finally:
+        # count failed regions too — those are the runs worth profiling
+        dt = time.perf_counter() - t0
+        entry = _registry[label]
+        entry["calls"] += 1
+        entry["total_s"] += dt
 
 
 def report(reset: bool = False) -> Dict[str, Dict[str, float]]:

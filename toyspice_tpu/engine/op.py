@@ -36,6 +36,8 @@ class OPResult(NamedTuple):
     x: jnp.ndarray
     jv: dict
     converged: jnp.ndarray
+    stage: jnp.ndarray  # rescue stage that converged: 0 plain NR, 1 gmin
+    #                     stepping, 2 source stepping (observability only)
 
 
 def make_op(cc, opts: SimOptions = DEFAULTS):
@@ -61,7 +63,8 @@ def make_op(cc, opts: SimOptions = DEFAULTS):
         r0 = nr(params, state, jv0, seed, t=0.0, dt=0.0, gmin=0.0, dc_scale=1.0)
 
         def done(_):
-            return OPResult(x=r0.x, jv=r0.jv, converged=r0.converged)
+            return OPResult(x=r0.x, jv=r0.jv, converged=r0.converged,
+                            stage=jnp.int32(0))
 
         def rescue(_):
             # --- gmin stepping (op.go:192-214) ---
@@ -88,7 +91,8 @@ def make_op(cc, opts: SimOptions = DEFAULTS):
             rp = nr(params, state, jv, cur, t=0.0, dt=0.0, gmin=0.0, dc_scale=1.0)
 
             def after_gmin(_):
-                return OPResult(x=rp.x, jv=rp.jv, converged=rp.converged)
+                return OPResult(x=rp.x, jv=rp.jv, converged=rp.converged,
+                                stage=jnp.int32(1))
 
             def source_stepping(_):
                 # op.go:113-169 — scale all V-source dcValues 10% -> 100%
@@ -112,7 +116,8 @@ def make_op(cc, opts: SimOptions = DEFAULTS):
                 # final full-scale polish (op.go:224: doNRiter after restore)
                 rf = nr(params, state, jv2, cur, t=0.0, dt=0.0, gmin=0.0,
                         dc_scale=1.0)
-                return OPResult(x=rf.x, jv=rf.jv, converged=ok & rf.converged)
+                return OPResult(x=rf.x, jv=rf.jv, converged=ok & rf.converged,
+                                stage=jnp.int32(2))
 
             return jax.lax.cond(rp.converged, after_gmin, source_stepping, None)
 

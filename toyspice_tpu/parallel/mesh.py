@@ -40,6 +40,43 @@ def shard_batch(mesh: Mesh, params: Dict, in_axes: Dict, axis: str = "data"):
     return jax.tree_util.tree_map(place, params, in_axes)
 
 
+def make_mesh_2d(shape, axes=("data", "sweep")) -> Mesh:
+    """2-D device mesh: Monte-Carlo batch on one axis, an analysis sweep
+    (AC frequencies / DC points) on the other."""
+    import numpy as np
+
+    devs = jax.devices()[: shape[0] * shape[1]]
+    return Mesh(np.array(devs).reshape(shape), axes)
+
+
+def run_ac_sharded(cc, mesh: Mesh, params, in_axes, freqs,
+                   batch_axis: str = "data", sweep_axis: str = "sweep"):
+    """Batched AC over a 2-D mesh: Monte-Carlo instances shard over the
+    batch axis, the frequency grid over the sweep axis — the circuit-domain
+    analog of combining data parallelism with sequence/sweep parallelism.
+    Returns (xr, xi, opr) with xr/xi of shape (B, F, np1) laid out
+    P(batch, sweep, None)."""
+    from ..engine.ac import make_ac
+    from ..engine.state import init_state
+
+    ac_execute = make_ac(cc)
+    state0 = init_state(cc)
+    batched = NamedSharding(mesh, P(batch_axis))
+    replicated = NamedSharding(mesh, P())
+    sharded_params = jax.tree_util.tree_map(
+        lambda leaf, ax: jax.device_put(
+            leaf, batched if ax == 0 else replicated),
+        params, in_axes,
+    )
+    freqs = jax.device_put(freqs, NamedSharding(mesh, P(sweep_axis)))
+
+    # input shardings (batch on params, sweep on freqs) propagate through
+    # GSPMD; xr/xi come out laid out P(batch, sweep, None)
+    vfn = jax.jit(jax.vmap(lambda p: ac_execute(p, state0, freqs),
+                           in_axes=(in_axes,)))
+    return vfn(sharded_params)
+
+
 def run_transient_sharded(cc, cfg: TranConfig, mesh: Mesh, params, in_axes,
                           semantics: str = "compat", axis: str = "data"):
     """One compiled, mesh-sharded batched transient.  Returns the batched

@@ -1,0 +1,98 @@
+"""Trapezoidal integration (physics semantics): 2nd-order accuracy where the
+reference's effective method is backward Euler order 1 (it only ever calls
+GetIntegratorCoeffs(Gear, 1, dt) — integrator.go, SURVEY.md #22)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import toyspice_tpu as ts
+from toyspice_tpu import SimOptions
+from toyspice_tpu.compiler import compile_circuit
+from toyspice_tpu.netlist.parser import parse
+from toyspice_tpu.engine import _params
+from toyspice_tpu.engine.state import init_state
+from toyspice_tpu.engine.tran import build_config, make_tran
+
+# RC charge with tau = 1 ms, simulated one tau with uic: v(t) = 5(1 - e^-t/tau)
+RC = """rc charge
+.tran {dt} 1m uic
+V1 1 0 DC 5
+R1 1 2 1k
+C1 2 0 1u
+"""
+
+
+def _rc_error(integration: str, dt: float) -> float:
+    cc = compile_circuit(parse(RC.format(dt=dt)))
+    tp = cc.netlist.tran
+    # fixed grid: disable the tstep clamp (tstep > tstop/divisor triggers
+    # it, so a tiny divisor turns it off), make the minimum step equal the
+    # requested step, and set trtol huge so LTE never rejects
+    opts = SimOptions(integration=integration, tstep_divisor=1e-9,
+                      minstep_divisor=1.0, trtol=1e9)
+    cfg = build_config(tp.tstart, tp.tstop, dt, dt, tp.uic, opts=opts)
+    tran = jax.jit(make_tran(cc, cfg, semantics="physics", store="full",
+                             opts=opts))
+    out = tran(_params(cc), init_state(cc))
+    assert not bool(out.fail)
+    n = int(out.out_n)
+    t = np.asarray(out.out_t)[:n]
+    v = np.asarray(out.out_x)[:n, cc.node_map["2"]]
+    exact = 5.0 * (1.0 - np.exp(-t / 1e-3))
+    return float(np.max(np.abs(v - exact)))
+
+
+def test_trap_beats_be_and_converges_second_order():
+    dt = 2e-5  # 50 steps per tau
+    err_be = _rc_error("be", dt)
+    err_tr = _rc_error("trap", dt)
+    # TR error ~ (dt/tau)^2/12 vs BE ~ (dt/tau)/2: ~2 orders of magnitude here
+    assert err_tr < err_be / 15.0, (err_be, err_tr)
+
+    # order check: halving dt cuts BE error ~2x but TR error ~4x
+    err_be2 = _rc_error("be", dt / 2)
+    err_tr2 = _rc_error("trap", dt / 2)
+    assert 1.5 < err_be / err_be2 < 3.0
+    assert 3.0 < err_tr / err_tr2 < 6.0
+
+
+def test_trap_rejects_compat():
+    cc = compile_circuit(parse(RC.format(dt=1e-5)))
+    tp = cc.netlist.tran
+    opts = SimOptions(integration="trap")
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts=opts)
+    with pytest.raises(ValueError, match="physics"):
+        make_tran(cc, cfg, semantics="compat", opts=opts)
+
+
+def test_trap_rlc_energy_conserving_tendency():
+    # undamped-ish LC ringing: BE damps the oscillation artificially, TR
+    # preserves amplitude far better over many periods
+    deck = """lc ring
+.tran 5u 2m uic
+V1 1 0 DC 5
+R1 1 2 10
+L1 2 3 1m
+C1 3 0 1u
+"""
+    cc = compile_circuit(parse(deck))
+    tp = cc.netlist.tran
+
+    def final_amp(integration):
+        opts = SimOptions(integration=integration)
+        cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic,
+                           opts=opts)
+        tran = jax.jit(make_tran(cc, cfg, semantics="physics", store="full",
+                                 opts=opts))
+        out = tran(_params(cc), init_state(cc))
+        n = int(out.out_n)
+        t = np.asarray(out.out_t)[:n]
+        v = np.asarray(out.out_x)[:n, cc.node_map["3"]]
+        tail = t > 1.5e-3
+        return float(np.max(np.abs(v[tail] - v[tail].mean())))
+
+    amp_be = final_amp("be")
+    amp_tr = final_amp("trap")
+    assert amp_tr > amp_be  # less numerical damping

@@ -72,6 +72,7 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op",
             cc, params, state, jv_used, t, dt, mode,
             status_gmin=gmin, dc_scale=dc_scale, semantics=semantics,
             temp=opts.temp, gmin_floor=opts.gmin,
+            integration=opts.integration,
         )
         solver = solve_stamped_for(cc.np1, rows, cols, rrows)
         return solver(vals, rvals, jnp.asarray(gmin, dtype=jnp.float64))

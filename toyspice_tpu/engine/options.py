@@ -28,5 +28,11 @@ class SimOptions:
     # simulation temperature in kelvin (op.go:41, tran.go:108, dc.go:116)
     temp: float = 300.15
 
+    # companion-model integration for physics semantics: "be" (backward
+    # Euler, the reference's effective method — it only ever calls
+    # GetIntegratorCoeffs(Gear, 1, dt), integrator.go) or "trap"
+    # (trapezoidal, 2nd order).  compat semantics is BE by definition.
+    integration: str = "be"
+
 
 DEFAULTS = SimOptions()

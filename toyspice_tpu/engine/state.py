@@ -30,10 +30,14 @@ def init_state(cc) -> Dict:
 
     state: Dict = {}
     if "C" in cc.idx:
-        state["C"] = {"v0": z("C"), "v1": z("C"), "q0": z("C"), "q1": z("C")}
+        # i0 = capacitor current, hist = committed-step flag: the trapezoidal
+        # companion needs both (first step runs BE, as SPICE3 does at order 1)
+        state["C"] = {"v0": z("C"), "v1": z("C"), "q0": z("C"), "q1": z("C"),
+                      "i0": z("C"), "hist": z("C")}
     if "L" in cc.idx:
         state["L"] = {
-            "i0": z("L"), "i1": z("L"), "v0": z("L"), "v1": z("L"), "flux0": z("L"),
+            "i0": z("L"), "i1": z("L"), "v0": z("L"), "v1": z("L"),
+            "flux0": z("L"), "hist": z("L"),
         }
     if "LM" in cc.idx:
         state["LM"] = {
@@ -52,10 +56,11 @@ def init_state(cc) -> Dict:
     return state
 
 
-def make_commit(cc, semantics: str = "compat"):
+def make_commit(cc, semantics: str = "compat", integration: str = "be"):
     """Build the state-commit function: (params, state, x, dt, t) -> state'."""
 
     compat = semantics == "compat"
+    trap = (not compat) and integration == "trap"
 
     def commit(params, state, x, dt):
         new = dict(state)
@@ -65,11 +70,23 @@ def make_commit(cc, semantics: str = "compat"):
             st = state["C"]
             vd = x[nodes[:, 0]] - x[nodes[:, 1]]
             cval = params["C"]["value"]
+            if trap:
+                # committed capacitor current: BE form on the first committed
+                # step (no current history yet), TR form afterwards
+                i_be = cval * (vd - st["v0"]) / dt
+                i_tr = 2.0 * cval / dt * (vd - st["v0"]) - st["i0"]
+                i_new = jnp.where(st["hist"] > 0, i_tr, i_be)
+            elif compat:
+                i_new = st["i0"]  # unused in compat stamps/LTE
+            else:
+                i_new = cval * (vd - st["v0"]) / dt  # BE current
             new["C"] = {
                 "v0": vd,
                 "v1": st["v0"],
                 "q0": cval * vd,
                 "q1": st["q0"],
+                "i0": i_new,
+                "hist": jnp.ones_like(st["hist"]),
             }
 
         if "L" in cc.idx:
@@ -94,6 +111,7 @@ def make_commit(cc, semantics: str = "compat"):
                 "v0": vd,
                 "v1": st["v0"],
                 "flux0": flux0,
+                "hist": jnp.ones_like(st["hist"]),
             }
 
         if "LM" in cc.idx and not compat:

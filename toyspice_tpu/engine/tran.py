@@ -80,12 +80,19 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
     run: execute(params, state0, t0, jv0) skips the OP re-bias, starts the
     clock at the checkpoint time t0 and carries the checkpointed device
     linearization jv0; cfg.tstart/tstop stay absolute."""
+    if opts.integration == "trap" and semantics == "compat":
+        raise ValueError("trapezoidal integration requires semantics='physics'"
+                         " (compat reproduces the reference's backward Euler)")
     np1 = cc.np1
     trtol = opts.trtol
+    # Trapezoidal physics mode evaluates sources at the END of the interval
+    # (required for 2nd-order accuracy with driven circuits); BE modes keep
+    # the reference's old-time evaluation (PLAN.md 2).
+    trap = opts.integration == "trap" and semantics == "physics"
     nr = make_nr(cc, mode="tran", warm_start=True, conv="op",
                  semantics=semantics, opts=opts)
     op_execute, _ = make_op(cc, opts)
-    commit = make_commit(cc, semantics)
+    commit = make_commit(cc, semantics, opts.integration)
     lte_fn = make_lte(cc)
 
     k_store = cfg.max_store if store == "full" else 1
@@ -128,7 +135,8 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
             dt_eff = jnp.where(t + dt > cfg.tstop, cfg.tstop - t, dt)
 
             res = nr(params, c["state"], c["jv"], jnp.zeros(np1, dtype=jnp.float64),
-                     t=t, dt=dt_eff, gmin=0.0, dc_scale=1.0)
+                     t=(next_t if trap else t), dt=dt_eff, gmin=0.0,
+                     dc_scale=1.0)
 
             lte = lte_fn(params, c["state"], dt_eff)
             can_halve = dt_eff > cfg.minstep

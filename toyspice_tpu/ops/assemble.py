@@ -171,6 +171,7 @@ def _assemble_acc(
     temp=TEMP_DEFAULT,
     semantics: str = "compat",
     gmin_floor: float = 1e-12,
+    integration: str = "be",
 ) -> _Acc:
     """Device stamping into an accumulator of (row, col, value) entries.
 
@@ -205,13 +206,24 @@ def _assemble_acc(
         nodes = cc.idx["C"]["nodes"]
         cval = _tadjust(params["C"], temp)
         if tran:
-            # BE charge-form companion (capacitor.go:85-105): geq=C/dt with
-            # ceq=charge1/dt.  compat uses the reference's one-step-lagged q1
-            # (PLAN.md 3 — costs ~30% amplitude error on rc.cir); physics uses
-            # the previous accepted step's charge q0, the textbook BE form.
-            geq = cval / dt
-            qprev = state["C"]["q1"] if semantics == "compat" else state["C"]["q0"]
-            ceq = qprev / dt
+            if semantics == "physics" and integration == "trap":
+                # trapezoidal companion: geq = 2C/dt, Ieq = geq*v_prev +
+                # i_prev (2nd order); the FIRST step has no current history
+                # and runs BE (SPICE3 starts at order 1 for the same reason)
+                stc = state["C"]
+                started = stc["hist"] > 0
+                geq = jnp.where(started, 2.0 * cval / dt, cval / dt)
+                ceq = jnp.where(started, geq * stc["v0"] + stc["i0"],
+                                stc["q0"] / dt)
+            else:
+                # BE charge-form companion (capacitor.go:85-105): geq=C/dt
+                # with ceq=charge1/dt.  compat uses the reference's one-step-
+                # lagged q1 (PLAN.md 3 — costs ~30% amplitude error on
+                # rc.cir); physics uses the previous accepted step's charge
+                # q0, the textbook BE form.
+                geq = cval / dt
+                qprev = state["C"]["q1"] if semantics == "compat" else state["C"]["q0"]
+                ceq = qprev / dt
             _two_node_pattern(acc, nodes, geq)
             acc.add_rhs(nodes[:, 0], ceq)
             acc.add_rhs(nodes[:, 1], -ceq)
@@ -221,15 +233,27 @@ def _assemble_acc(
             gc = jnp.maximum(status_gmin, gmin_floor) * jnp.ones_like(cval)
             _two_node_pattern(acc, nodes, gc)
 
-    # --- linear inductors (inductor.go:38-79; BE order-1 companion) ---
+    # --- linear inductors (inductor.go:38-79; BE order-1 companion, or the
+    # trapezoidal branch companion in physics mode) ---
     if "L" in cc.idx:
         nodes = cc.idx["L"]["nodes"]
         branch = cc.idx["L"]["branch"]
         lval = params["L"]["value"]
         dt_eff = jnp.where(dt > 0, dt, 1e-9)
         _branch_pattern(acc, nodes, branch, f64)
-        acc.add(branch, branch, -lval / dt_eff)
-        acc.add_rhs(branch, lval / dt_eff * state["L"]["i1"])
+        if semantics == "physics" and integration == "trap":
+            # TR of L dI/dt = v with x_b = -I:
+            # -v1+v2 - (2L/dt) x_b = (2L/dt) i1 + v_prev
+            # (BE on the first step: no voltage history yet)
+            stl = state["L"]
+            started = stl["hist"] > 0
+            lcoef = jnp.where(started, 2.0 * lval / dt_eff, lval / dt_eff)
+            acc.add(branch, branch, -lcoef)
+            acc.add_rhs(branch,
+                        lcoef * stl["i1"] + jnp.where(started, stl["v0"], 0.0))
+        else:
+            acc.add(branch, branch, -lval / dt_eff)
+            acc.add_rhs(branch, lval / dt_eff * state["L"]["i1"])
 
     # --- magnetic inductors (magnetic.go:197-274) ---
     if "LM" in cc.idx:
@@ -413,11 +437,12 @@ def _assemble_acc(
 
 def assemble_system(cc, params, state, jv, t, dt, mode, status_gmin,
                     dc_scale=1.0, linear_only=False, temp=TEMP_DEFAULT,
-                    semantics="compat", gmin_floor=1e-12):
+                    semantics="compat", gmin_floor=1e-12, integration="be"):
     """Build the dense (A, b) for one OP/transient Newton iteration
     (see _assemble_acc for the argument semantics)."""
     acc = _assemble_acc(cc, params, state, jv, t, dt, mode, status_gmin,
-                        dc_scale, linear_only, temp, semantics, gmin_floor)
+                        dc_scale, linear_only, temp, semantics, gmin_floor,
+                        integration)
     a, b = acc.build(cc.np1)
     # ground row: x[0] = 0
     a = a.at[0, :].set(0.0).at[0, 0].set(1.0)
@@ -427,14 +452,15 @@ def assemble_system(cc, params, state, jv, t, dt, mode, status_gmin,
 
 def assemble_entries(cc, params, state, jv, t, dt, mode, status_gmin,
                      dc_scale=1.0, linear_only=False, temp=TEMP_DEFAULT,
-                     semantics="compat", gmin_floor=1e-12):
+                     semantics="compat", gmin_floor=1e-12, integration="be"):
     """Flat-entry form of assemble_system for the fused build+solve kernel:
     returns (rows, cols, vals, rrows, rvals) where rows/cols/rrows are static
     numpy index arrays and vals/rvals are the traced per-entry values.
     Ground-row fixup and the gmin diagonal are NOT applied here — the solver
     handles both (they are part of its static pattern)."""
     acc = _assemble_acc(cc, params, state, jv, t, dt, mode, status_gmin,
-                        dc_scale, linear_only, temp, semantics, gmin_floor)
+                        dc_scale, linear_only, temp, semantics, gmin_floor,
+                        integration)
     rows = np.concatenate(acc.rows) if acc.rows else np.zeros(0, np.int32)
     cols = np.concatenate(acc.cols) if acc.cols else np.zeros(0, np.int32)
     vals = (jnp.concatenate(acc.vals) if acc.vals

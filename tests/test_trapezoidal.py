@@ -96,3 +96,27 @@ C1 3 0 1u
     amp_be = final_amp("be")
     amp_tr = final_amp("trap")
     assert amp_tr > amp_be  # less numerical damping
+
+
+def test_trap_batched_matches_single():
+    # trap mode under vmap: the hist-flag where() must batch cleanly
+    import jax.numpy as jnp
+    from toyspice_tpu.engine.batch import batch_params, run_transient_batch
+
+    cc = compile_circuit(parse(RC.format(dt=1e-5)))
+    tp = cc.netlist.tran
+    opts = SimOptions(integration="trap")
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic,
+                       opts=opts)
+    B = 3
+    overrides = {
+        kind: {k: jnp.broadcast_to(jnp.asarray(v), (B,) + np.asarray(v).shape)
+               for k, v in tbl.items()}
+        for kind, tbl in cc.params.items()
+    }
+    params, axes = batch_params(cc, overrides)
+    out = run_transient_batch(cc, cfg, params, axes, init_state(cc),
+                              semantics="physics", opts=opts)
+    acc = np.asarray(out.accepted)
+    assert np.all(acc == acc[0]) and acc[0] > 0
+    assert not bool(np.any(np.asarray(out.fail)))

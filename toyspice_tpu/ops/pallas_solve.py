@@ -94,7 +94,6 @@ def _gj_eliminate(n, m_hi, m_lo):
     used = jnp.zeros((n, blk), dtype=jnp.bool_)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (n, blk), 0)
     colid = jax.lax.broadcasted_iota(jnp.int32, (n + 1, blk), 0)
-    zero_row = jnp.zeros((n + 1, blk), dtype=f32)
     prows = []
     for k in range(n):  # n is static: unrolled elimination stages
         mk_hi = m_hi[:, k, :]

@@ -80,3 +80,19 @@ def test_structure_validation(tmp_path):
     save_checkpoint(path, state)
     with pytest.raises(ValueError, match="missing"):
         load_checkpoint(path, cc)
+
+
+def test_fill_missing_new_state_fields(tmp_path):
+    # checkpoints written before a state field existed load with
+    # fill_missing=True (zero-filled from the circuit template)
+    cc = compile_circuit(parse(RC))
+    state = init_state(cc)
+    state["C"] = {k: v for k, v in state["C"].items() if k != "hist"}
+    path = str(tmp_path / "old.npz")
+    save_checkpoint(path, state)
+    with pytest.raises(ValueError, match="fill_missing"):
+        load_checkpoint(path, cc)
+    loaded, _, _ = load_checkpoint(path, cc, fill_missing=True)
+    assert "hist" in loaded["C"]
+    np.testing.assert_array_equal(loaded["C"]["hist"],
+                                  np.zeros_like(loaded["C"]["v0"]))

@@ -120,3 +120,59 @@ def test_trap_batched_matches_single():
     acc = np.asarray(out.accepted)
     assert np.all(acc == acc[0]) and acc[0] > 0
     assert not bool(np.any(np.asarray(out.fail)))
+
+    # must match a direct single-instance run, not merely be self-consistent
+    single = jax.jit(make_tran(cc, cfg, semantics="physics", store="none",
+                               opts=opts))(_params(cc), init_state(cc))
+    assert int(np.asarray(single.accepted)) == int(acc[0])
+    v_b = np.asarray(out.state["C"]["v0"])[:, 0]
+    v_s = float(np.asarray(single.state["C"]["v0"])[0])
+    np.testing.assert_allclose(v_b, v_s, rtol=1e-12)
+
+
+def test_trap_mutual_coupling_not_halved():
+    # trap-mode K stamps must be trapezoidal like the branch rows they join:
+    # BE M/dt cross terms on 2L/dt rows converge to HALF the mutual
+    # inductance.  The 2:1 transformer's open-secondary amplitude ratio
+    # k*sqrt(Ls/Lp) = 0.475 pins it.
+    from tests.conftest import read_fixture
+
+    cc = compile_circuit(parse(read_fixture("transformer1.cir")))
+    tp = cc.netlist.tran
+    opts = SimOptions(integration="trap")
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic,
+                       opts=opts)
+    tran = jax.jit(make_tran(cc, cfg, semantics="physics", store="full",
+                             opts=opts))
+    out = tran(_params(cc), init_state(cc))
+    assert not bool(out.fail)
+    n = int(out.out_n)
+    t = np.asarray(out.out_t)[:n]
+    x = np.asarray(out.out_x)[:n]
+    vp = x[:, cc.node_map["2"]]
+    vs = x[:, cc.node_map["3"]]
+    tail = t > 1.5e-3
+    ratio = np.max(np.abs(vs[tail])) / np.max(np.abs(vp[tail]))
+    assert 0.35 < ratio < 0.6, ratio  # halved M would push this toward ~0.24
+
+
+def test_physics_non_uic_starts_at_bias():
+    # physics mode seeds the transient state from the OP solution: a
+    # DC-biased RC must hold its bias, not re-charge from zero
+    deck = """biased rc
+.tran 0.02m 1m
+V1 1 0 DC 5
+R1 1 2 1k
+C1 2 0 1u
+"""
+    for opts in (SimOptions(), SimOptions(integration="trap")):
+        cc = compile_circuit(parse(deck))
+        tp = cc.netlist.tran
+        cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic,
+                           opts=opts)
+        tran = jax.jit(make_tran(cc, cfg, semantics="physics", store="full",
+                                 opts=opts))
+        out = tran(_params(cc), init_state(cc))
+        n = int(out.out_n)
+        v2 = np.asarray(out.out_x)[:n, cc.node_map["2"]]
+        assert np.min(v2) > 4.99, (opts.integration, float(np.min(v2)))

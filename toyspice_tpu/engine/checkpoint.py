@@ -45,10 +45,13 @@ def save_checkpoint(path: str, state: Dict, jv: Optional[Dict] = None,
     np.savez(path, **flat)
 
 
-def load_checkpoint(path: str, cc=None) -> Tuple[Dict, Optional[Dict], Dict]:
+def load_checkpoint(path: str, cc=None,
+                    fill_missing: bool = False) -> Tuple[Dict, Optional[Dict], Dict]:
     """Read (state, jv, meta); jv is None if the checkpoint carries none.
     With a CompiledCircuit, validates that the checkpoint's structure and
-    shapes match the circuit's state template."""
+    shapes match the circuit's state template.  fill_missing=True fills
+    state fields absent from the file with the template's zero values (for
+    checkpoints written before new state fields existed)."""
     with np.load(path) as data:
         state: Dict = {}
         jv: Dict = {}
@@ -70,12 +73,18 @@ def load_checkpoint(path: str, cc=None) -> Tuple[Dict, Optional[Dict], Dict]:
         template = init_state(cc)
         t_keys = {(k, f) for k, tbl in template.items() for f in tbl}
         s_keys = {(k, f) for k, tbl in state.items() for f in tbl}
+        if fill_missing:
+            for kind, field in t_keys - s_keys:
+                state.setdefault(kind, {})[field] = np.asarray(
+                    template[kind][field])
+            s_keys = {(k, f) for k, tbl in state.items() for f in tbl}
         if t_keys != s_keys:
             missing = t_keys - s_keys
             extra = s_keys - t_keys
             raise ValueError(
                 f"checkpoint does not match circuit: missing={sorted(missing)} "
-                f"extra={sorted(extra)}"
+                f"extra={sorted(extra)} (fill_missing=True zero-fills fields "
+                f"added after the checkpoint was written)"
             )
         for kind, tbl in template.items():
             for field, val in tbl.items():

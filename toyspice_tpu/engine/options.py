@@ -34,5 +34,10 @@ class SimOptions:
     # (trapezoidal, 2nd order).  compat semantics is BE by definition.
     integration: str = "be"
 
+    def __post_init__(self):
+        if self.integration not in ("be", "trap"):
+            raise ValueError(
+                f"integration must be 'be' or 'trap', got {self.integration!r}")
+
 
 DEFAULTS = SimOptions()

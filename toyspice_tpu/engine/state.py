@@ -56,7 +56,49 @@ def init_state(cc) -> Dict:
     return state
 
 
-def make_commit(cc, semantics: str = "compat", integration: str = "be"):
+def make_op_seed(cc):
+    """Seed the committed state from an operating-point solution.
+
+    physics-mode non-UIC transients start from the bias point: a DC-charged
+    capacitor begins with its OP voltage/charge and an inductor with its OP
+    current, instead of the zero state (which would inject a spurious
+    C·V/dt current spike on the first step).  compat mode intentionally
+    keeps the zero state — that IS the reference behavior (its devices never
+    see the OP solution, circuit.go:192-224).  hist stays 0 so trapezoidal
+    runs still take their first step as BE."""
+
+    def seed(params, state, x):
+        new = dict(state)
+        if "C" in cc.idx:
+            nodes = cc.idx["C"]["nodes"]
+            st = state["C"]
+            vd = x[nodes[:, 0]] - x[nodes[:, 1]]
+            q = params["C"]["value"] * vd
+            new["C"] = {**st, "v0": vd, "v1": vd, "q0": q, "q1": q}
+        if "L" in cc.idx:
+            nodes = cc.idx["L"]["nodes"]
+            st = state["L"]
+            vd = x[nodes[:, 0]] - x[nodes[:, 1]]
+            i = -x[cc.idx["L"]["branch"]]
+            new["L"] = {**st, "i0": i, "i1": i, "v0": vd, "v1": vd}
+        if "LM" in cc.idx:
+            st = state["LM"]
+            i = -x[cc.idx["LM"]["branch"]]
+            new["LM"] = {**st, "i0": i, "i1": i}
+        if "D" in cc.idx:
+            nodes = cc.idx["D"]["nodes"]
+            pd = params["D"]
+            vd = x[nodes[:, 0]] - x[nodes[:, 1]]
+            id_, _ = diode_model.dc_eval(pd, vd, 300.15)
+            new["D"] = {"prev_vd": vd, "prev_id": id_,
+                        "prev_charge": pd["tt"] * id_}
+        return new
+
+    return seed
+
+
+def make_commit(cc, semantics: str = "compat", integration: str = "be",
+                temp: float = 300.15):
     """Build the state-commit function: (params, state, x, dt, t) -> state'."""
 
     compat = semantics == "compat"
@@ -72,9 +114,15 @@ def make_commit(cc, semantics: str = "compat", integration: str = "be"):
             cval = params["C"]["value"]
             if trap:
                 # committed capacitor current: BE form on the first committed
-                # step (no current history yet), TR form afterwards
-                i_be = cval * (vd - st["v0"]) / dt
-                i_tr = 2.0 * cval / dt * (vd - st["v0"]) - st["i0"]
+                # step (no current history yet), TR form afterwards.  Must use
+                # the SAME temperature-adjusted C as the stamp: the TR current
+                # recursion i_{n+1}=(2C/dt)dv - i_n is marginally stable, so a
+                # stamp/commit mismatch would persist instead of decaying.
+                dtm = temp - 300.15
+                c_t = cval * (1.0 + params["C"]["tc1"] * dtm
+                              + params["C"]["tc2"] * dtm * dtm)
+                i_be = c_t * (vd - st["v0"]) / dt
+                i_tr = 2.0 * c_t / dt * (vd - st["v0"]) - st["i0"]
                 i_new = jnp.where(st["hist"] > 0, i_tr, i_be)
             elif compat:
                 i_new = st["i0"]  # unused in compat stamps/LTE

@@ -29,7 +29,7 @@ from .newton import make_nr
 from .op import make_op
 from .nlstate import init_jv
 from .options import DEFAULTS, SimOptions
-from .state import make_commit, make_lte
+from .state import make_commit, make_lte, make_op_seed
 
 class TranConfig(NamedTuple):
     tstart: float
@@ -92,8 +92,10 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
     nr = make_nr(cc, mode="tran", warm_start=True, conv="op",
                  semantics=semantics, opts=opts)
     op_execute, _ = make_op(cc, opts)
-    commit = make_commit(cc, semantics, opts.integration)
+    commit = make_commit(cc, semantics, opts.integration, opts.temp)
+    op_seed = make_op_seed(cc)
     lte_fn = make_lte(cc)
+    physics = semantics == "physics"
 
     k_store = cfg.max_store if store == "full" else 1
 
@@ -105,6 +107,10 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
         elif not cfg.uic:
             opr = op_execute(params, state0)
             jv0 = opr.jv
+            if physics:
+                # start the transient AT the bias point (see make_op_seed);
+                # compat keeps the reference's zero state
+                state0 = op_seed(params, state0, opr.x)
         else:
             jv0 = init_jv(cc)
 

@@ -312,17 +312,40 @@ def _assemble_acc(
                                           kidx["idx_b"], temp, semantics)
         mij = coeff * jnp.sqrt(la * lb)
         dt_eff = dt  # mutual returns early if dt<=0; transient always has dt>0
-        acc.add(kidx["branch_a"], kidx["branch_b"], -mij / dt_eff)
-        acc.add(kidx["branch_b"], kidx["branch_a"], -mij / dt_eff)
-        if semantics == "compat":
-            # reference RHS uses GetCurrent() — the junk i0 (PLAN.md 4) — with
-            # a sign inconsistent with the inductor companion (mutual.go:114-115)
-            acc.add_rhs(kidx["branch_a"], -mij * i0b / dt_eff)
-            acc.add_rhs(kidx["branch_b"], -mij * i0a / dt_eff)
+        if semantics == "physics" and integration == "trap":
+            # the coupled rows are trapezoidal (2L/dt), so the cross terms
+            # must be too: -2M/dt with memory +2M/dt*I_prev — a BE M/dt here
+            # would converge to an effectively HALVED mutual inductance.
+            # Applies only to linear-L pairs (magnetic LM rows stay BE) and
+            # follows the first-step-BE gating of the windings' hist flag.
+            both_linear = (kidx["kind_a"] == 0) & (kidx["kind_b"] == 0)  # static
+            if "L" in cc.idx:
+                nl = max(1, cc.kind_count("L"))
+                ia = np.minimum(kidx["idx_a"], nl - 1)
+                ib = np.minimum(kidx["idx_b"], nl - 1)
+                started = ((state["L"]["hist"][ia] > 0)
+                           & (state["L"]["hist"][ib] > 0))
+            else:
+                started = jnp.zeros(len(kidx["idx_a"]), dtype=bool)
+            use_tr = jnp.asarray(both_linear) & started
+            mcoef = jnp.where(use_tr, 2.0 * mij / dt_eff, mij / dt_eff)
+            acc.add(kidx["branch_a"], kidx["branch_b"], -mcoef)
+            acc.add(kidx["branch_b"], kidx["branch_a"], -mcoef)
+            acc.add_rhs(kidx["branch_a"], mcoef * i1b)
+            acc.add_rhs(kidx["branch_b"], mcoef * i1a)
         else:
-            # physics: consistent BE memory term +M/dt·I_prev of the partner
-            acc.add_rhs(kidx["branch_a"], mij * i1b / dt_eff)
-            acc.add_rhs(kidx["branch_b"], mij * i1a / dt_eff)
+            acc.add(kidx["branch_a"], kidx["branch_b"], -mij / dt_eff)
+            acc.add(kidx["branch_b"], kidx["branch_a"], -mij / dt_eff)
+            if semantics == "compat":
+                # reference RHS uses GetCurrent() — the junk i0 (PLAN.md 4)
+                # with a sign inconsistent with the inductor companion
+                # (mutual.go:114-115)
+                acc.add_rhs(kidx["branch_a"], -mij * i0b / dt_eff)
+                acc.add_rhs(kidx["branch_b"], -mij * i0a / dt_eff)
+            else:
+                # physics: consistent BE memory term +M/dt·I_prev of partner
+                acc.add_rhs(kidx["branch_a"], mij * i1b / dt_eff)
+                acc.add_rhs(kidx["branch_b"], mij * i1a / dt_eff)
 
     if not linear_only:
         # --- diodes (diode.go:184-227) ---

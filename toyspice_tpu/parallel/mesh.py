@@ -50,24 +50,20 @@ def make_mesh_2d(shape, axes=("data", "sweep")) -> Mesh:
 
 
 def run_ac_sharded(cc, mesh: Mesh, params, in_axes, freqs,
-                   batch_axis: str = "data", sweep_axis: str = "sweep"):
+                   batch_axis: str = "data", sweep_axis: str = "sweep",
+                   opts=None):
     """Batched AC over a 2-D mesh: Monte-Carlo instances shard over the
     batch axis, the frequency grid over the sweep axis — the circuit-domain
     analog of combining data parallelism with sequence/sweep parallelism.
     Returns (xr, xi, opr) with xr/xi of shape (B, F, np1) laid out
     P(batch, sweep, None)."""
     from ..engine.ac import make_ac
+    from ..engine.options import DEFAULTS
     from ..engine.state import init_state
 
-    ac_execute = make_ac(cc)
+    ac_execute = make_ac(cc, opts if opts is not None else DEFAULTS)
     state0 = init_state(cc)
-    batched = NamedSharding(mesh, P(batch_axis))
-    replicated = NamedSharding(mesh, P())
-    sharded_params = jax.tree_util.tree_map(
-        lambda leaf, ax: jax.device_put(
-            leaf, batched if ax == 0 else replicated),
-        params, in_axes,
-    )
+    sharded_params = shard_batch(mesh, params, in_axes, batch_axis)
     freqs = jax.device_put(freqs, NamedSharding(mesh, P(sweep_axis)))
 
     # input shardings (batch on params, sweep on freqs) propagate through

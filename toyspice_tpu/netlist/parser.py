@@ -332,7 +332,10 @@ def _parse_element(line: str) -> Element:
                 elem.params[name.lower()] = value
         return elem
 
-    # Generic two-terminal parts: R, C, ...
+    # Generic two-terminal parts: R, C, ...  (the reference indexes
+    # fields[3] unchecked and panics on a missing value; error instead)
+    if len(fields) < 4:
+        raise NetlistError(f"invalid element format: {line}")
     elem.nodes = fields[1:-1]
     elem.value = parse_value(fields[-1])
     return elem

@@ -19,6 +19,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (single CPU
+# core, dozens of jitted engines); repeat runs load the compiled programs
+# from disk instead of recompiling.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

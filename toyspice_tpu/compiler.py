@@ -364,7 +364,10 @@ def compile_circuit(data: NetlistData) -> CompiledCircuit:
         if not rws:
             return
         specs = [r["spec"] for r in rws]
-        pmax = max(2, max((len(s.pwl_t) for s in specs), default=2))
+        # +1: even the longest PWL list needs one far-future pad point, else
+        # t beyond its last knot extrapolates on the final segment instead of
+        # holding the last value (vsource.go:211-231 clamps).
+        pmax = max(2, max((len(s.pwl_t) + 1 for s in specs), default=2))
         pwl_t = np.zeros((len(specs), pmax), dtype=np.float64)
         pwl_v = np.zeros((len(specs), pmax), dtype=np.float64)
         for i, s in enumerate(specs):

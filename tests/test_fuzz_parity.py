@@ -344,6 +344,140 @@ def test_fuzz_ac(seed):
                                atol=1e-6 * scale, err_msg=deck)
 
 
+def gen_mixed_deck(seed):
+    """CE amplifier (randomized bias + model) with a diode and extra R/C
+    sprinkled in — multiple nonlinear device kinds in one matrix."""
+    rng = np.random.default_rng(7000 + seed)
+    vcc = rng.uniform(6.0, 12.0)
+    parts = [f"Vaf={_fmt(rng.uniform(40, 120))}",
+             f"Ikf={_fmt(_lu(rng, 1e-2, 1.0))}",
+             f"Cje={_fmt(_lu(rng, 1e-12, 8e-12))}",
+             f"Cjc={_fmt(_lu(rng, 1e-12, 8e-12))}",
+             f"Tf={_fmt(_lu(rng, 1e-10, 5e-10))}"]
+    tstop = 5e-4
+    freq = rng.integers(2, 6) / tstop
+    lines = [
+        f"* fuzz mixed seed {seed}",
+        f"VCC 1 0 DC {_fmt(vcc)}",
+        f"Vsig 5 0 SIN(0 {_fmt(rng.uniform(0.05, 0.3))} {_fmt(freq)})",
+        f"Cc 5 2 {_fmt(_lu(rng, 1e-7, 1e-6))}",
+        f"RB1 1 2 {_fmt(_lu(rng, 30e3, 150e3))}",
+        f"RB2 2 0 {_fmt(_lu(rng, 5e3, 30e3))}",
+        f"RC 1 3 {_fmt(_lu(rng, 1e3, 5e3))}",
+        f"RE 4 0 {_fmt(_lu(rng, 200.0, 1e3))}",
+        f"Q1 3 2 4 QF",
+        f".model QF NPN({' '.join(parts)})",
+        f"D1 4 0 DF",
+        f".model DF D(Is={_fmt(_lu(rng, 1e-15, 1e-13))} "
+        f"N={_fmt(rng.uniform(1.0, 1.8))})",
+        f"CL 3 0 {_fmt(_lu(rng, 1e-10, 1e-9))}",
+        f".tran {_fmt(tstop / 100)} {_fmt(tstop)}",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def gen_magnetic_deck(seed):
+    """Jiles-Atherton core transformer with randomized core params + turns.
+
+    Compat semantics keeps the core linear at L0 = mu0*N^2*A/len (the
+    reference never commits magnetic state, PLAN.md item 1), so this fuzzes
+    the L0-from-core-params path plus the branch-row stamps."""
+    rng = np.random.default_rng(8000 + seed)
+    tstop = 3e-4
+    freq = rng.integers(2, 5) / tstop
+    np_turns = int(rng.integers(100, 500))
+    ns_turns = int(rng.integers(50, 300))
+    lines = [
+        f"* fuzz magnetic seed {seed}",
+        f"Vin 1 0 SIN(0 {_fmt(rng.uniform(5, 15))} {_fmt(freq)})",
+        f"Rp 1 2 {_fmt(rng.uniform(0.1, 2.0))}",
+        f"Lp 2 0 core=C1 turns={np_turns}",
+        f"Ls 3 0 core=C1 turns={ns_turns}",
+        f"RL 3 0 {_fmt(_lu(rng, 100.0, 5e3))}",
+        f".model C1 core(ms={_fmt(_lu(rng, 1e5, 2e6))} "
+        f"alpha={_fmt(_lu(rng, 1e-4, 1e-2))} a={_fmt(_lu(rng, 100, 5e3))} "
+        f"c={_fmt(rng.uniform(0.05, 0.5))} k={_fmt(_lu(rng, 100, 5e3))} "
+        f"area={_fmt(_lu(rng, 1e-5, 1e-3))} len={_fmt(rng.uniform(0.05, 0.5))})",
+        f"K1 Lp Ls {_fmt(rng.uniform(0.85, 0.99))}",
+        f".tran {_fmt(tstop / 30)} {_fmt(tstop)}",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_mixed_tran(seed):
+    tran_fuzz_parity(gen_mixed_deck(seed))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_magnetic_tran(seed):
+    tran_fuzz_parity(gen_magnetic_deck(seed))
+
+
+def test_fuzz_nested_dc():
+    """Two-source nested sweep (programmatic only: the reference's .dc card
+    parses a single source, parser.go:263-283 — PLAN.md item 9)."""
+    rng = np.random.default_rng(42)
+    deck = "\n".join([
+        "* fuzz nested dc",
+        "V1 1 0 DC 0",
+        "V2 3 0 DC 0",
+        f"R1 1 2 {_fmt(_lu(rng, 500.0, 5e3))}",
+        f"R2 3 2 {_fmt(_lu(rng, 500.0, 5e3))}",
+        "D1 2 0 DF",
+        f".model DF D(Is={_fmt(_lu(rng, 1e-15, 1e-13))} "
+        f"N={_fmt(rng.uniform(1.0, 1.8))})",
+        ".op",
+    ]) + "\n"
+    cc = compile_circuit(parse(deck))
+    s1 = sweep_values(0.0, 3.0, 0.5)
+    s2 = sweep_values(0.0, 2.0, 1.0)
+    grid = np.array([(a, b) for a in s1 for b in s2])
+    slots = (cc.names["V"].index("V1"), cc.names["V"].index("V2"))
+    xs, conv = jax.jit(make_dc(cc, slots))(
+        _params(cc), init_state(cc), jnp.asarray(grid))
+    assert bool(jnp.all(conv))
+    pts_o, xs_o = OracleCircuit(cc).dc(["V1", "V2"], [s1, s2])
+    np.testing.assert_allclose(np.asarray(grid), pts_o)
+    scale = max(1.0, float(np.max(np.abs(xs_o))))
+    np.testing.assert_allclose(np.asarray(xs), xs_o, rtol=RTOL,
+                               atol=RTOL * scale)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_fuzz_batch_consistency(seed):
+    """A vmapped batch of perturbed instances must equal per-instance single
+    runs bitwise — on a NONLINEAR deck, where per-instance NR iteration
+    counts diverge and while_loop batching must mask correctly."""
+    from toyspice_tpu.engine.batch import batch_params
+
+    deck = gen_diode_deck(seed)
+    cc = compile_circuit(parse(deck))
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic)
+    tran = make_tran(cc, cfg, store="full")
+    state0 = init_state(cc)
+
+    rng = np.random.default_rng(100 + seed)
+    base = np.asarray(cc.params["R"]["value"])
+    rvals = base[None, :] * np.exp(rng.normal(0, 0.2, size=(3, base.size)))
+    bparams, axes = batch_params(cc, {"R": {"value": rvals}})
+    out = jax.jit(jax.vmap(tran, in_axes=(axes, None)))(bparams, state0)
+
+    jt = jax.jit(tran)
+    for b in range(3):
+        params = _params(cc)
+        params["R"]["value"] = jnp.asarray(rvals[b])
+        single = jt(params, state0)
+        assert int(out.accepted[b]) == int(single.accepted), deck
+        assert not bool(single.fail)
+        n = int(single.out_n)
+        np.testing.assert_array_equal(
+            np.asarray(out.out_x[b])[:n], np.asarray(single.out_x)[:n])
+        np.testing.assert_array_equal(
+            np.asarray(out.out_t[b])[:n], np.asarray(single.out_t)[:n])
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fuzz_dc_diode(seed):
     deck = gen_dc_deck(seed)

@@ -28,7 +28,7 @@ from toyspice_tpu.compiler import compile_circuit
 from toyspice_tpu.netlist.parser import parse
 from toyspice_tpu.engine.batch import batch_params
 from toyspice_tpu.engine.state import init_state
-from toyspice_tpu.engine.tran import build_config, make_tran
+from toyspice_tpu.engine.tran import build_config
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 BASELINE = 1e6  # aggregate timesteps/sec north star
@@ -62,8 +62,12 @@ def main():
     params, axes = batch_params(cc, overrides)
     state0 = init_state(cc)
 
-    tran = make_tran(cc, cfg, store="none")
-    fn = jax.jit(jax.vmap(tran, in_axes=(axes, None)))
+    # run_transient_batch dispatches to the fused transient-attempt Pallas
+    # kernel on TPU (TOYSPICE_TRAN=general forces the vmapped engine)
+    from toyspice_tpu.engine.batch import run_transient_batch
+
+    def fn(p, s):
+        return run_transient_batch(cc, cfg, p, axes, s, store="none")
 
     # compile + warm up.  NOTE: on the tunneled TPU backend
     # jax.block_until_ready returns before the result is actually

@@ -1,0 +1,159 @@
+"""Fused transient-attempt kernel (ops/pallas_tran.py) vs the general engine.
+
+Runs the Pallas kernel in interpret mode on the CPU test platform; asserts
+EXACT accepted-step/attempt parity with the general vmapped engine and
+state agreement within the double-float noise class (~1e-13 rel)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from toyspice_tpu.compiler import compile_circuit
+from toyspice_tpu.netlist.parser import parse
+from toyspice_tpu.engine.batch import batch_params
+from toyspice_tpu.engine.options import DEFAULTS, SimOptions
+from toyspice_tpu.engine.state import init_state
+from toyspice_tpu.engine.tran import build_config, make_tran
+from toyspice_tpu.ops.pallas_tran import fused_eligible, make_tran_fused
+
+RC_SIN = """* rc sin
+.tran 0.02m 1m
+Vin 1 0 SIN(0 5 1k)
+R1 1 2 100
+C1 2 0 1u
+"""
+
+RL_PULSE = """* rl pulse
+.tran 0.02m 1m
+Vin 1 0 PULSE(0 5 0.1m 0.01m 0.01m 0.3m 0.8m)
+R1 1 2 50
+L1 2 0 10m
+"""
+
+RLC_TINY = """* rlc tiny
+.tran 0.05m 0.5m
+Vin 1 0 SIN(1 4 2k)
+R1 1 2 100
+L1 2 3 5m
+C1 3 0 0.5u
+R2 3 0 10k
+"""
+
+IPWL = """* isrc pwl into rc
+.tran 0.02m 1m
+I1 0 1 PWL(0 0 0.2m 3m 0.5m 1m)
+R1 1 0 1k
+C1 1 0 0.2u
+C2 1 2 0.1u
+R2 2 0 2k
+"""
+
+
+def _compare(deck, overrides=None, opts=DEFAULTS):
+    cc = compile_circuit(parse(deck))
+    assert fused_eligible(cc, "compat", "none", opts)
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts)
+    state0 = init_state(cc)
+    if not overrides:  # vmap needs at least one batched axis: trivial B=1
+        overrides = {"R": {"value": np.asarray(cc.params["R"]["value"])[None, :]}}
+    params, axes = batch_params(cc, overrides)
+
+    gen = jax.jit(jax.vmap(make_tran(cc, cfg, store="none", opts=opts),
+                           in_axes=(axes, None)))
+    og = gen(params, state0)
+
+    fused = make_tran_fused(cc, cfg, opts)
+    with pltpu.force_tpu_interpret_mode():
+        of = jax.jit(fused)(params, state0)
+
+    np.testing.assert_array_equal(np.asarray(of.accepted),
+                                  np.asarray(og.accepted))
+    np.testing.assert_array_equal(np.asarray(of.attempts),
+                                  np.asarray(og.attempts))
+    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail))
+    np.testing.assert_allclose(np.asarray(of.t_final), np.asarray(og.t_final),
+                               rtol=0, atol=0)
+    for kind in og.state:
+        for key in og.state[kind]:
+            a = np.asarray(og.state[kind][key])
+            f = np.asarray(of.state[kind][key])
+            scale = max(1e-30, float(np.max(np.abs(a))))
+            np.testing.assert_allclose(f, a, rtol=0, atol=5e-13 * scale,
+                                       err_msg=f"{kind}.{key}")
+    return og, of
+
+
+def test_fused_rc_sin_batched():
+    rv = np.asarray([[100.0], [130.0], [70.0]])
+    _compare(RC_SIN, {"R": {"value": rv}})
+
+
+# Inductor decks pace at minstep in compat (the junk-i0 LTE quirk, PLAN.md 4)
+# — 15k+ attempts, intractable under Pallas interpret mode.  A huge trtol
+# lets dt grow to tmax, exercising the L stamps/commit and the growth/clamp
+# logic in a few dozen attempts; the full minstep-paced parity runs on real
+# TPU hardware via the A/B protocol (PARITY.md).
+_HI_TRTOL = SimOptions(trtol=1e9)
+
+
+def test_fused_rl_pulse():
+    lv = np.asarray([[10e-3], [7e-3]])
+    _compare(RL_PULSE, {"L": {"value": lv}}, opts=_HI_TRTOL)
+
+
+def test_fused_rlc_mixed():
+    rng = np.random.default_rng(0)
+    B = 3
+    cc = compile_circuit(parse(RLC_TINY))
+    ovr = {
+        "C": {"value": np.asarray(cc.params["C"]["value"])[None, :]
+              * np.exp(rng.normal(0, 0.1, (B, 1)))},
+        "L": {"value": np.asarray(cc.params["L"]["value"])[None, :]
+              * np.exp(rng.normal(0, 0.1, (B, 1)))},
+    }
+    og, of = _compare(RLC_TINY, ovr, opts=_HI_TRTOL)
+    assert int(np.asarray(og.accepted)[0]) >= 20
+
+
+def test_fused_reject_halve_path():
+    """trtol tuned so the LTE controller mixes accepts and rejects (halving)
+    — 137 attempts / 123 accepts measured on the general engine."""
+    og, of = _compare(RC_SIN, opts=SimOptions(trtol=0.0125))
+    assert int(np.asarray(og.attempts)[0]) > int(np.asarray(og.accepted)[0])
+
+
+def test_fused_current_source_pwl():
+    _compare(IPWL)
+
+
+def test_fused_stateless_deck():
+    """V+R only — no C/L state rows at all (isin/vpulse/vpwl fixture shape);
+    the kernel's commit stack must pass its dummy row through."""
+    deck = "* vr\n.tran 0.05m 1m\nVin 1 0 SIN(0 5 1k)\nR1 1 0 1k\n"
+    _compare(deck)
+
+
+def test_fused_temperature_option():
+    """tc1/tc2-adjusted conductances flow through the const stack (tc is a
+    programmatic parameter, as in the reference — resistor.go:77-81)."""
+    ovr = {"R": {"value": np.asarray([[100.0]]),
+                 "tc1": np.asarray([[0.01]]),
+                 "tc2": np.asarray([[1e-4]])}}
+    _compare(RC_SIN, ovr, opts=SimOptions(temp=350.0))
+
+
+def test_fused_eligibility_gates():
+    opts = DEFAULTS
+    cc = compile_circuit(parse(RC_SIN))
+    assert fused_eligible(cc, "compat", "none", opts)
+    assert not fused_eligible(cc, "physics", "none", opts)
+    assert not fused_eligible(cc, "compat", "full", opts)
+    assert not fused_eligible(cc, "compat", "none",
+                              SimOptions(integration="trap"))
+    dcc = compile_circuit(parse(
+        "* d\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nD1 2 0 D\n"))
+    assert not fused_eligible(dcc, "compat", "none", opts)

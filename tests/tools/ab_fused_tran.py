@@ -1,0 +1,110 @@
+"""On-TPU A/B: fused transient-attempt kernel (ops/pallas_tran.py) vs the
+general vmapped engine on every eligible linear reference fixture deck.
+
+Run on real TPU hardware (no conftest CPU forcing):
+
+    python tests/tools/ab_fused_tran.py
+
+Per deck, a 64-way Monte-Carlo batch (log-normal R/C/L spread) runs through
+both paths; asserted: identical accepted/attempt/fail counts and t_final,
+committed state within the double-float noise class.  This is the solver
+A/B protocol from CLAUDE.md applied to the fused-transient dispatch (the
+nonlinear decks of the standard list are ineligible for the fused path and
+unaffected by it: the dispatch gate is fused_eligible()).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+
+from toyspice_tpu.compiler import compile_circuit
+from toyspice_tpu.netlist.parser import parse
+from toyspice_tpu.engine.batch import batch_params
+from toyspice_tpu.engine.options import DEFAULTS
+from toyspice_tpu.engine.state import init_state
+from toyspice_tpu.engine.tran import build_config, make_tran
+from toyspice_tpu.ops.pallas_tran import fused_eligible, make_tran_fused
+
+REFERENCE_CIRCUITS = "/root/reference/circuits"
+
+# every linear fixture with a .tran card (idc.cir is .op-only)
+DECKS = ["rc.cir", "rl.cir", "rlc.cir", "isin.cir",
+         "ipulse.cir", "ipwl.cir", "vpulse.cir", "vpwl.cir"]
+
+B = 64
+
+
+def run_deck(name):
+    with open(os.path.join(REFERENCE_CIRCUITS, name)) as f:
+        deck = f.read()
+    cc = compile_circuit(parse(deck))
+    if not fused_eligible(cc, "compat", "none", DEFAULTS):
+        return f"{name}: SKIP (not fused-eligible)"
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic)
+    state0 = init_state(cc)
+
+    rng = np.random.default_rng(42)
+    overrides = {}
+    for kind in ("R", "C", "L"):
+        if kind in cc.params:
+            base = np.asarray(cc.params[kind]["value"])[None, :]
+            overrides[kind] = {
+                "value": base * np.exp(rng.normal(0, 0.05, (B, base.shape[1])))}
+    if not overrides:
+        return f"{name}: SKIP (no R/C/L to batch)"
+    params, axes = batch_params(cc, overrides)
+
+    gen = jax.jit(jax.vmap(make_tran(cc, cfg, store="none"),
+                           in_axes=(axes, None)))
+    og = jax.block_until_ready(gen(params, state0))
+
+    of = jax.block_until_ready(jax.jit(make_tran_fused(cc, cfg, DEFAULTS))(
+        params, state0))
+
+    np.testing.assert_array_equal(np.asarray(of.accepted),
+                                  np.asarray(og.accepted), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(of.attempts),
+                                  np.asarray(og.attempts), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail),
+                                  err_msg=name)
+    np.testing.assert_allclose(np.asarray(of.t_final),
+                               np.asarray(og.t_final), rtol=0, atol=0,
+                               err_msg=name)
+    worst = 0.0
+    for kind in og.state:
+        for key in og.state[kind]:
+            a = np.asarray(og.state[kind][key])
+            fv = np.asarray(of.state[kind][key])
+            scale = max(1e-30, float(np.max(np.abs(a))))
+            rel = float(np.max(np.abs(fv - a))) / scale
+            worst = max(worst, rel)
+            # df64 noise class over ~20k-step trajectories (PARITY.md
+            # records <=1.6e-11 for the same class on the solver A/B)
+            assert rel < 5e-11, f"{name} {kind}.{key}: rel {rel:.2e}"
+    acc = np.asarray(og.accepted)
+    return (f"{name}: OK  accepted {int(acc.min())}..{int(acc.max())}, "
+            f"state max rel diff {worst:.2e}")
+
+
+def main():
+    print("devices:", jax.devices())
+    fails = 0
+    for name in DECKS:
+        try:
+            print(run_deck(name), flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue the sweep
+            fails += 1
+            print(f"{name}: FAIL {type(e).__name__}: {e}", flush=True)
+    if fails:
+        sys.exit(1)
+    print("A/B sweep: all decks match")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,28 @@ def batch_params(cc, overrides: Dict[str, Dict[str, jnp.ndarray]]) -> Tuple[dict
 def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
                         semantics: str = "compat", store: str = "none",
                         jit: bool = True, opts: SimOptions = DEFAULTS):
-    """vmapped transient over the batch axis.  Returns the batched TranOutput
-    (out_* only populated when store='full')."""
+    """Batched transient over the Monte-Carlo axis.  Returns the batched
+    TranOutput (out_* only populated when store='full').
+
+    Linear compat/BE circuits with store='none' route through the fused
+    transient-attempt Pallas kernel (ops/pallas_tran.py) when the Pallas
+    solver backend is active — one kernel per attempt instead of a solve
+    kernel plus ~40 µs of XLA control ops.  TOYSPICE_TRAN=general|fused|auto
+    overrides the dispatch (auto = fused exactly when eligible on TPU)."""
+    import os
+
+    from ..ops.pallas_tran import fused_eligible, make_tran_fused
+    from ..ops.solve import _solver_backend
+
+    mode = os.environ.get("TOYSPICE_TRAN", "auto")
+    if (mode != "general"
+            and fused_eligible(cc, semantics, store, opts, params)
+            and (mode == "fused" or _solver_backend() == "pallas")):
+        fn = make_tran_fused(cc, cfg, opts)
+        if jit:
+            fn = jax.jit(fn)
+        return fn(params, state0)
+
     tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts)
     fn = jax.vmap(tran, in_axes=(in_axes, None))
     if jit:

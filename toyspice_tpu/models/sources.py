@@ -73,6 +73,42 @@ def eval_sources(stype, p, t, dc_scale=1.0):
     )
 
 
+def _lane_leaf(leaf, b):
+    """Scalar-per-source leaf (nS,) shared or (b, nS) batched -> broadcastable
+    against a (nS, b) lane grid."""
+    leaf = jnp.asarray(leaf, dtype=jnp.float64)
+    if leaf.ndim == 1:
+        return leaf[:, None]  # (nS, 1)
+    return jnp.transpose(leaf, (1, 0))  # (nS, b)
+
+
+def eval_sources_lanes(stype, p, t, b):
+    """Waveform value of every source at PER-LANE times: t is (b,), leaves
+    are (nS,) shared or (b, nS) batched; returns (nS, b).  Same semantics as
+    eval_sources (vsource.go/isource.go) — used by the fused transient kernel
+    path, where each Monte-Carlo lane carries its own simulation clock.
+    PWL knot tables must be unbatched (nS, P)."""
+    q = {k: _lane_leaf(v, b) for k, v in p.items()
+         if k not in ("pwl_t", "pwl_v")}
+    tt = t[None, :]  # (1, b)
+    dc = q["dc"]
+    phase_rad = q["phase"] * jnp.pi / 180.0
+    sin_v = dc + q["amplitude"] * jnp.sin(2.0 * jnp.pi * q["freq"] * tt + phase_rad)
+    pulse_v = _pulse_value(q, tt)
+    pwl_t = jnp.asarray(p["pwl_t"], dtype=jnp.float64)
+    pwl_v = jnp.asarray(p["pwl_v"], dtype=jnp.float64)
+    pwl_val = jax.vmap(_pwl_value_one, in_axes=(0, 0, None))(pwl_t, pwl_v, t)
+    ns = pwl_val.shape[0]
+    stype = jnp.asarray(stype)[:, None]
+    out = jnp.where(
+        stype == SRC_DC,
+        dc,
+        jnp.where(stype == SRC_SIN, sin_v,
+                  jnp.where(stype == SRC_PULSE, pulse_v, pwl_val)),
+    )
+    return jnp.broadcast_to(out, (ns, t.shape[0]))
+
+
 def eval_sources_ac(p):
     """Complex phasor (real, imag) of every source for AC analysis
     (vsource.go:155-176, isource.go:150-165).  Non-AC sources have ac_mag=0.

@@ -62,12 +62,13 @@ def main():
     params, axes = batch_params(cc, overrides)
     state0 = init_state(cc)
 
-    # run_transient_batch dispatches to the fused transient-attempt Pallas
-    # kernel on TPU (TOYSPICE_TRAN=general forces the vmapped engine)
-    from toyspice_tpu.engine.batch import run_transient_batch
+    # make_tran_batch dispatches to the fused transient-attempt Pallas
+    # kernel on TPU (TOYSPICE_TRAN=general forces the vmapped engine).
+    # Built ONCE: the jitted callable is reused so the timed call pays
+    # neither retrace nor compile.
+    from toyspice_tpu.engine.batch import make_tran_batch
 
-    def fn(p, s):
-        return run_transient_batch(cc, cfg, p, axes, s, store="none")
+    fn = make_tran_batch(cc, cfg, axes, store="none", params=params)
 
     # compile + warm up.  NOTE: on the tunneled TPU backend
     # jax.block_until_ready returns before the result is actually

@@ -36,17 +36,24 @@ def batch_params(cc, overrides: Dict[str, Dict[str, jnp.ndarray]]) -> Tuple[dict
     return params, axes
 
 
-def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
-                        semantics: str = "compat", store: str = "none",
-                        jit: bool = True, opts: SimOptions = DEFAULTS):
-    """Batched transient over the Monte-Carlo axis.  Returns the batched
-    TranOutput (out_* only populated when store='full').
+def make_tran_batch(cc, cfg: TranConfig, in_axes,
+                    semantics: str = "compat", store: str = "none",
+                    jit: bool = True, opts: SimOptions = DEFAULTS,
+                    params=None):
+    """Build the batched transient callable fn(params, state0) -> TranOutput.
+
+    Build ONCE and reuse: each call to this factory returns a fresh ``jax.jit``
+    wrapper, so calling it per invocation pays a full retrace every time
+    (the persistent compile cache hides the XLA compile, not tracing — a
+    measured ~10x on the 8192-way benchmark).
 
     Linear compat/BE circuits with store='none' route through the fused
     transient-attempt Pallas kernel (ops/pallas_tran.py) when the Pallas
     solver backend is active — one kernel per attempt instead of a solve
-    kernel plus ~40 µs of XLA control ops.  TOYSPICE_TRAN=general|fused|auto
-    overrides the dispatch (auto = fused exactly when eligible on TPU)."""
+    kernel plus XLA control ops.  TOYSPICE_TRAN=general|fused|auto overrides
+    the dispatch (auto = fused exactly when eligible on TPU).  ``params`` is
+    only consulted by the eligibility check (batched PWL knot tables are not
+    supported by the fused path)."""
     import os
 
     from ..ops.pallas_tran import fused_eligible, make_tran_fused
@@ -57,14 +64,19 @@ def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
             and fused_eligible(cc, semantics, store, opts, params)
             and (mode == "fused" or _solver_backend() == "pallas")):
         fn = make_tran_fused(cc, cfg, opts)
-        if jit:
-            fn = jax.jit(fn)
-        return fn(params, state0)
+    else:
+        tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts)
+        fn = jax.vmap(tran, in_axes=(in_axes, None))
+    return jax.jit(fn) if jit else fn
 
-    tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts)
-    fn = jax.vmap(tran, in_axes=(in_axes, None))
-    if jit:
-        fn = jax.jit(fn)
+
+def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
+                        semantics: str = "compat", store: str = "none",
+                        jit: bool = True, opts: SimOptions = DEFAULTS):
+    """One-shot batched transient (builds the callable and invokes it; for
+    repeated invocation hold on to make_tran_batch's result instead)."""
+    fn = make_tran_batch(cc, cfg, in_axes, semantics=semantics, store=store,
+                         jit=jit, opts=opts, params=params)
     return fn(params, state0)
 
 

@@ -33,6 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 _SPLIT = 4097.0
 
 
+def _exact(x):
+    """Pin a product's IEEE rounding: int32 bitcast round-trip.
+
+    The error-free transforms below rely on every `a*b` being ROUNDED before
+    it feeds a subsequent add/sub.  Compilers (XLA CPU under the TPU
+    interpreter; potentially Mosaic) may contract `a*b + c` into fma, which
+    skips that rounding and silently breaks the invariant — observed as df
+    pairs off by one ulp of the hi limb (2^-23 relative, f32-class error) on
+    knife-edge lanes.  A bitwise round-trip is contraction-proof and lowers
+    to a move (or nothing) on both backends."""
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.int32), jnp.float32)
+
+
 def _two_sum(a, b):
     """Error-free a + b -> (s, err)."""
     s = a + b
@@ -49,17 +63,17 @@ def _quick_two_sum(a, b):
 
 
 def _split(a):
-    t = a * _SPLIT
+    t = _exact(a * _SPLIT)
     hi = t - (t - a)
     return hi, a - hi
 
 
 def _two_prod(a, b):
     """Error-free a * b -> (p, err) via Dekker splitting (no hardware FMA)."""
-    p = a * b
+    p = _exact(a * b)
     ahi, alo = _split(a)
     bhi, blo = _split(b)
-    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    err = ((_exact(ahi * bhi) - p) + ahi * blo + alo * bhi) + alo * blo
     return p, err
 
 
@@ -87,28 +101,30 @@ def _df_recip(bhi, blo):
 
 
 def _gj_eliminate(n, m_hi, m_lo):
-    """Shared one-hot pivoted Gauss-Jordan over a (n, n+1, blk) double-float
-    augmented stack; returns (x_hi, x_lo) of shape (n, blk)."""
+    """Shared one-hot pivoted Gauss-Jordan over a (n, n+1, *lanes) double-float
+    augmented stack; returns (x_hi, x_lo) of shape (n, *lanes).  The lane
+    shape is arbitrary trailing dims — 1-D (blk,) for the solve kernel, 2-D
+    (8, W) sublane-dense tiles for the fused transient kernel."""
     f32 = jnp.float32
-    blk = m_hi.shape[-1]
-    used = jnp.zeros((n, blk), dtype=jnp.bool_)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (n, blk), 0)
-    colid = jax.lax.broadcasted_iota(jnp.int32, (n + 1, blk), 0)
+    lanes = m_hi.shape[2:]
+    used = jnp.zeros((n,) + lanes, dtype=jnp.bool_)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (n,) + lanes, 0)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (n + 1,) + lanes, 0)
     prows = []
     for k in range(n):  # n is static: unrolled elimination stages
-        mk_hi = m_hi[:, k, :]
-        mk_lo = m_lo[:, k, :]
+        mk_hi = m_hi[:, k]
+        mk_lo = m_lo[:, k]
         col = jnp.where(used, f32(-1.0), jnp.abs(mk_hi))
         mx = jnp.max(col, axis=0)
-        elig = (col == mx[None, :]) & ~used
+        elig = (col == mx[None]) & ~used
         # int32 literal: Python ints promote to int64 under x64, which Mosaic
         # cannot lower (infinite legalization recursion)
         pidx = jnp.min(jnp.where(elig, rowid, jnp.int32(n)), axis=0)
-        onehot = rowid == pidx[None, :]
+        onehot = rowid == pidx[None]
         oh = onehot.astype(f32)
         # one-hot contraction is exact: exactly one term is nonzero
-        piv_row_hi = jnp.sum(oh[:, None, :] * m_hi, axis=0)  # (n+1, blk)
-        piv_row_lo = jnp.sum(oh[:, None, :] * m_lo, axis=0)
+        piv_row_hi = jnp.sum(oh[:, None] * m_hi, axis=0)  # (n+1, *lanes)
+        piv_row_lo = jnp.sum(oh[:, None] * m_lo, axis=0)
         piv_hi = piv_row_hi[k]
         piv_lo = piv_row_lo[k]
         bad = piv_hi == 0.0
@@ -116,26 +132,26 @@ def _gj_eliminate(n, m_hi, m_lo):
         piv_lo = jnp.where(bad, f32(0.0), piv_lo)
         rhi, rlo = _df_recip(piv_hi, piv_lo)
         piv_row_hi, piv_row_lo = _df_mul(
-            piv_row_hi, piv_row_lo, rhi[None, :], rlo[None, :]
+            piv_row_hi, piv_row_lo, rhi[None], rlo[None]
         )
         # zero pivot ⇒ singular: poison the normalized row (x goes non-finite)
-        poison = (colid != k) & bad[None, :]
+        poison = (colid != k) & bad[None]
         piv_row_hi = jnp.where(poison, f32(jnp.inf), piv_row_hi)
         piv_row_lo = jnp.where(poison, f32(0.0), piv_row_lo)
-        piv_row_hi = jnp.where((colid == k) & bad[None, :], f32(1.0), piv_row_hi)
+        piv_row_hi = jnp.where((colid == k) & bad[None], f32(1.0), piv_row_hi)
         f_hi = jnp.where(onehot, f32(0.0), mk_hi)
         f_lo = jnp.where(onehot, f32(0.0), mk_lo)
         q_hi, q_lo = _df_mul(
-            f_hi[:, None, :], f_lo[:, None, :],
-            piv_row_hi[None, :, :], piv_row_lo[None, :, :],
+            f_hi[:, None], f_lo[:, None],
+            piv_row_hi[None], piv_row_lo[None],
         )
         m_hi, m_lo = _df_add(m_hi, m_lo, -q_hi, -q_lo)
-        m_hi = jnp.where(onehot[:, None, :], piv_row_hi[None, :, :], m_hi)
-        m_lo = jnp.where(onehot[:, None, :], piv_row_lo[None, :, :], m_lo)
+        m_hi = jnp.where(onehot[:, None], piv_row_hi[None], m_hi)
+        m_lo = jnp.where(onehot[:, None], piv_row_lo[None], m_lo)
         used = used | onehot
         prows.append(oh)
-    rhs_hi = m_hi[:, n, :]
-    rhs_lo = m_lo[:, n, :]
+    rhs_hi = m_hi[:, n]
+    rhs_lo = m_lo[:, n]
     x_hi = jnp.stack([jnp.sum(prows[k] * rhs_hi, axis=0) for k in range(n)],
                      axis=0)
     x_lo = jnp.stack([jnp.sum(prows[k] * rhs_lo, axis=0) for k in range(n)],

@@ -140,22 +140,33 @@ def _df_max(a, b):
     return (jnp.where(sel, a[0], b[0]), jnp.where(sel, a[1], b[1]))
 
 
-def _df_const(v, blk):
+def _df_const(v, lanes):
     """f64 python constant as a broadcast double-float pair."""
     hi = np.float32(v)
     lo = np.float32(np.float64(v) - np.float64(hi))
     f32 = jnp.float32
-    return (jnp.full((blk,), hi, dtype=f32), jnp.full((blk,), lo, dtype=f32))
+    return (jnp.full(lanes, hi, dtype=f32), jnp.full(lanes, lo, dtype=f32))
 
 
 def _fused_kernel(n, counts, layout, cells, rhs_cells,
                   const_hi_ref, const_lo_ref, dyn_hi_ref, dyn_lo_ref,
                   st_hi_ref, st_lo_ref,
-                  xlte_hi_ref, xlte_lo_ref, stout_hi_ref, stout_lo_ref):
+                  xlte_ref, stout_ref):
+    # Input refs are (rows, 8, W): the lane axis is folded to sublane-dense
+    # (8, W) tiles so every df op fills all 8 sublanes of the f32 vreg — a
+    # 1-D (blk,) layout occupies 1 of 8 sublanes and issue-binds the kernel
+    # at 1/8th VPU utilization (measured 67.8 of 72.7 us per attempt).
+    #
+    # Output refs are (2, rows, 8, W) with limb axis 0 — the hi and lo limbs
+    # of each df pair MUST leave the kernel through ONE ref: with separate
+    # hi/lo outputs the compiler duplicates the error-free transforms into
+    # two fusions whose last-bit rounding can disagree, yielding pairs like
+    # (hi+ulp, lo-of-hi) that are off by 2^-23 relative (observed in
+    # interpret mode on rl decks).
     nr_, nc_, nl_, nv_, ni_ = counts
     f32 = jnp.float32
-    blk = dyn_hi_ref.shape[-1]
-    zero = jnp.zeros((blk,), dtype=f32)
+    lanes = dyn_hi_ref.shape[1:]
+    zero = jnp.zeros(lanes, dtype=f32)
 
     def const(r):
         return (const_hi_ref[r, :], const_lo_ref[r, :])
@@ -183,7 +194,7 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
 
     def term_value(tag, k, s):
         if tag == "one":
-            hi = jnp.full((blk,), f32(s))
+            hi = jnp.full(lanes, f32(s))
             return (hi, zero)
         p = tables[tag][k]
         return p if s > 0 else _df_neg(p)
@@ -196,7 +207,7 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
             acc = _df_add(*acc, *term_value(*t_))
         return acc
 
-    one = jnp.ones((blk,), dtype=f32)
+    one = jnp.ones(lanes, dtype=f32)
     row_his, row_los = [], []
     for i in range(n):
         col_his, col_los = [], []
@@ -225,7 +236,7 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
         return _df_add(*xrow(n1), *_df_neg(xrow(n2)))
 
     # --- LTE from the committed (pre-attempt) state — tran.go:239-250 ---
-    half = _df_const(0.5, blk)
+    half = _df_const(0.5, lanes)
     worst = (zero, zero)
     for k in range(nc_):
         craw = const(L["craw"] + k)
@@ -241,8 +252,10 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
         v = _df_mul(*_df_mul(*d, *dtinv), *half)
         worst = _df_max(worst, v)
 
-    xlte_hi_ref[...] = jnp.stack([x_hi[r] for r in range(n)] + [worst[0]])
-    xlte_lo_ref[...] = jnp.stack([x_lo[r] for r in range(n)] + [worst[1]])
+    xlte_ref[...] = jnp.stack([
+        jnp.stack([x_hi[r] for r in range(n)] + [worst[0]]),
+        jnp.stack([x_lo[r] for r in range(n)] + [worst[1]]),
+    ])
 
     # --- commit candidates (compat: capacitor.go:155-171, inductor.go:81-114)
     # default: pass the input state through (also covers the dummy row when
@@ -260,7 +273,7 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
         put(L["c_v1"] + k, st(L["c_v0"] + k))
         put(L["c_q0"] + k, _df_mul(*const(L["craw"] + k), *vd))
         put(L["c_q1"] + k, st(L["c_q0"] + k))
-    c1e9 = _df_const(1e-9, blk)
+    c1e9 = _df_const(1e-9, lanes)
     for k in range(nl_):
         n1, n2 = layout["l_nodes"][k]
         vd = diff_x(n1, n2)
@@ -273,8 +286,8 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
         put(L["l_v1"] + k, st(L["l_v0"] + k))
         put(L["l_flux0"] + k, _df_mul(*vd, *dt))
 
-    stout_hi_ref[...] = jnp.stack(out_rows_hi, axis=0)
-    stout_lo_ref[...] = jnp.stack(out_rows_lo, axis=0)
+    stout_ref[...] = jnp.stack([jnp.stack(out_rows_hi, axis=0),
+                                jnp.stack(out_rows_lo, axis=0)])
 
 
 # ----------------------------------------------------------------- wrapper
@@ -341,8 +354,12 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
     rhs_cells = {k: tuple(v) for k, v in rhs_cells.items()}
     kernel = functools.partial(_fused_kernel, n, counts, layout, cells,
                                rhs_cells)
+    # lanes per grid block (rounded up to a multiple of 1024 = 8 sublanes x
+    # 128 lanes); measured on v5e at the 8192-way benchmark: 1024 -> 285.6M
+    # steps/s, 2048 -> 264M, 4096 -> 243M, 8192 -> 223M.  The general solve
+    # kernel keeps its own 1-D 512 default.
     if block is None:
-        block = int(os.environ.get("TOYSPICE_BLOCK", "512"))
+        block = int(os.environ.get("TOYSPICE_BLOCK", "1024"))
     temp = opts.temp
     trtol = opts.trtol
     dtemp = temp - TEMP_DEFAULT
@@ -364,8 +381,12 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 leaf = jnp.asarray(leaf)
                 if leaf.ndim == 2:
                     b = max(b, leaf.shape[0])
-        blk = min(block, max(128, ((b + 127) // 128) * 128))
+        # lanes fold to sublane-dense (8, W) tiles in-kernel, so blocks are
+        # multiples of 8 sublanes x 128 lanes = 1024
+        blk = min(block, max(1024, ((b + 1023) // 1024) * 1024))
+        blk = ((blk + 1023) // 1024) * 1024
         bp = ((b + blk - 1) // blk) * blk
+        w = blk // 8
 
         def pad_src(tbl):
             out = {}
@@ -418,25 +439,38 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
 
         zero = np.int32(0)
 
+        def fold(x):
+            """(rows, bp) -> (rows, 8, bp//8) sublane-dense lane tiles.  Any
+            fixed lane bijection works (everything per-lane is elementwise);
+            pack and unpack just have to agree."""
+            return x.reshape(x.shape[0], 8, bp // 8)
+
+        const_hi, const_lo = fold(const_hi), fold(const_lo)
+
         def vec(rows_):
-            return pl.BlockSpec((rows_, blk), lambda i: (zero, i),
+            return pl.BlockSpec((rows_, 8, w), lambda i: (zero, zero, i),
+                                memory_space=pltpu.VMEM)
+
+        def vec2(rows_):
+            # paired-limb outputs: (2, rows, 8, W), limb axis leading
+            return pl.BlockSpec((2, rows_, 8, w),
+                                lambda i: (zero, zero, zero, i),
                                 memory_space=pltpu.VMEM)
 
         def attempt(dyn64, st_hi, st_lo):
             dyn_hi, dyn_lo = _hi_lo(dyn64)
-            return pl.pallas_call(
+            xlte, stout = pl.pallas_call(
                 kernel,
                 grid=(bp // blk,),
                 in_specs=[vec(const_hi.shape[0])] * 2
                          + [vec(dyn_hi.shape[0])] * 2 + [vec(ks)] * 2,
-                out_specs=(vec(n + 1), vec(n + 1), vec(ks), vec(ks)),
+                out_specs=(vec2(n + 1), vec2(ks)),
                 out_shape=(
-                    jax.ShapeDtypeStruct((n + 1, bp), jnp.float32),
-                    jax.ShapeDtypeStruct((n + 1, bp), jnp.float32),
-                    jax.ShapeDtypeStruct((ks, bp), jnp.float32),
-                    jax.ShapeDtypeStruct((ks, bp), jnp.float32),
+                    jax.ShapeDtypeStruct((2, n + 1, 8, bp // 8), jnp.float32),
+                    jax.ShapeDtypeStruct((2, ks, 8, bp // 8), jnp.float32),
                 ),
-            )(const_hi, const_lo, dyn_hi, dyn_lo, st_hi, st_lo)
+            )(const_hi, const_lo, fold(dyn_hi), fold(dyn_lo), st_hi, st_lo)
+            return xlte[0], xlte[1], stout[0], stout[1]
 
         # pad lanes beyond b start done (their kernel output is never used)
         lane = jnp.arange(bp)
@@ -447,7 +481,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             dt=jnp.full(bp, cfg.minstep, dtype=f64),
             done=pad | jnp.full(bp, cfg.tstop <= 0.0),
             fail=jnp.zeros(bp, dtype=bool),
-            st_hi=st_hi0, st_lo=st_lo0,
+            st_hi=fold(st_hi0), st_lo=fold(st_lo0),
             accepted=jnp.zeros(bp, dtype=jnp.int32),
             attempts=jnp.zeros(bp, dtype=jnp.int32),
             nr_iters=jnp.zeros(bp, dtype=jnp.int32),
@@ -455,9 +489,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
 
         # The while cond is a cross-batch reduction whose value gates the next
         # dispatch — on TPU that serializes every iteration behind a scalar
-        # round-trip (~3x the body cost, measured).  The body freezes finished
-        # lanes via the `active` mask, so over-running is free: check the cond
-        # only every UNROLL attempts and let XLA pipeline the block.
+        # round-trip (unroll=1 is pathological).  The body freezes finished
+        # lanes via the `active` mask, so over-running is safe and the cond is
+        # only checked every UNROLL attempts; beyond ~8 the returns vanish
+        # (kernel compute dominates).
         unroll = int(os.environ.get("TOYSPICE_TRAN_UNROLL", "8"))
 
         def cond(c):
@@ -481,6 +516,8 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
 
             xlte_hi, xlte_lo, stout_hi, stout_lo = attempt(
                 dyn64, c["st_hi"], c["st_lo"])
+            xlte_hi = xlte_hi.reshape(n + 1, bp)  # unfold lane tiles
+            xlte_lo = xlte_lo.reshape(n + 1, bp)
 
             finite = jnp.all(jnp.isfinite(xlte_hi[:n])
                              & jnp.isfinite(xlte_lo[:n]), axis=0)
@@ -493,8 +530,9 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             accept = finite & ~reject
 
             acc_act = accept & active
-            st_hi = jnp.where(acc_act[None, :], stout_hi, c["st_hi"])
-            st_lo = jnp.where(acc_act[None, :], stout_lo, c["st_lo"])
+            acc3 = acc_act.reshape(8, bp // 8)[None]
+            st_hi = jnp.where(acc3, stout_hi, c["st_hi"])
+            st_lo = jnp.where(acc3, stout_lo, c["st_lo"])
 
             t_new = jnp.where(acc_act, next_t, t)
             grow = jnp.where(lte < trtol / 100.0, 2.0, 1.1)
@@ -525,7 +563,8 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
         c = jax.lax.while_loop(cond, unrolled_body, carry0)
 
         # ---- unpack state stack -> f64 dict (batch-leading) ----
-        st64f = (c["st_hi"].astype(f64) + c["st_lo"].astype(f64))[:, :b]
+        st64f = (c["st_hi"].astype(f64)
+                 + c["st_lo"].astype(f64)).reshape(ks, bp)[:, :b]
 
         def grab(off, nk):
             return jnp.transpose(st64f[off:off + nk], (1, 0))

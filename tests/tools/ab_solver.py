@@ -25,7 +25,10 @@ from toyspice_tpu.engine.batch import batch_params
 from toyspice_tpu.engine.state import init_state
 from toyspice_tpu.engine.tran import build_config, make_tran
 
-B = 16  # batch axis: the Pallas solve engages through the vmap rule
+# batch axis: the Pallas solve engages through the vmap rule.  B >= 1024
+# additionally exercises the sublane-dense folded lane layout (B=2048 run
+# over diode2/bjt2/mosfet1 validated it on 2026-08-17).
+B = int(os.environ.get("AB_BATCH", "16"))
 
 REFERENCE_CIRCUITS = "/root/reference/circuits"
 

@@ -160,21 +160,31 @@ def _gj_eliminate(n, m_hi, m_lo):
 
 
 def _gj_kernel(n, ahi_ref, alo_ref, bhi_ref, blo_ref, xhi_ref, xlo_ref):
-    # augmented working matrix (n, n+1, blk) as a hi/lo pair of values
-    m_hi = jnp.concatenate([ahi_ref[...], bhi_ref[...][:, None, :]], axis=1)
-    m_lo = jnp.concatenate([alo_ref[...], blo_ref[...][:, None, :]], axis=1)
+    # augmented working matrix (n, n+1, *lanes) as a hi/lo pair of values
+    m_hi = jnp.concatenate([ahi_ref[...], bhi_ref[...][:, None]], axis=1)
+    m_lo = jnp.concatenate([alo_ref[...], blo_ref[...][:, None]], axis=1)
     xhi_ref[...], xlo_ref[...] = _gj_eliminate(n, m_hi, m_lo)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def pallas_solve_batched(a, b, block: int = 512):
+def pallas_solve_batched(a, b, block: int | None = None):
     """Solve a[i] @ x[i] = b[i] for a batch; a: (B, n, n) f64, b: (B, n) f64.
 
     Returns (B, n) f64 computed in double-float on the TPU VPU.  The batch is
-    padded to a lane-aligned block multiple with identity systems.
+    padded to a lane-aligned block multiple with identity systems.  Batches
+    >= 1024 fold lanes to sublane-dense (8, W) tiles (8x VPU issue density).
     """
+    import os
+
     bsz, n = b.shape
-    blk = min(block, max(128, ((bsz + 127) // 128) * 128))
+    folded = bsz >= 1024
+    if block is None:
+        block = int(os.environ.get("TOYSPICE_BLOCK",
+                                   "1024" if folded else "512"))
+    if folded:
+        blk = max(1024, ((min(block, bsz) + 1023) // 1024) * 1024)
+    else:
+        blk = min(block, max(128, ((bsz + 127) // 128) * 128))
     padded = ((bsz + blk - 1) // blk) * blk
     if padded != bsz:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (padded - bsz, n, n))
@@ -194,21 +204,33 @@ def pallas_solve_batched(a, b, block: int = 512):
     # which Mosaic cannot return from the index-map function (numpy scalar,
     # not jnp: index maps must not capture tracers)
     zero = np.int32(0)
-    mat_spec = pl.BlockSpec((n, n, blk), lambda i: (zero, zero, i),
-                            memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((n, blk), lambda i: (zero, i),
-                            memory_space=pltpu.VMEM)
+    if folded:
+        w = blk // 8
+        a_hi = a_hi.reshape(n, n, 8, padded // 8)
+        a_lo = a_lo.reshape(n, n, 8, padded // 8)
+        b_hi = b_hi.reshape(n, 8, padded // 8)
+        b_lo = b_lo.reshape(n, 8, padded // 8)
+        mat_spec = pl.BlockSpec((n, n, 8, w), lambda i: (zero, zero, zero, i),
+                                memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((n, 8, w), lambda i: (zero, zero, i),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((n, 8, padded // 8), jnp.float32)
+    else:
+        mat_spec = pl.BlockSpec((n, n, blk), lambda i: (zero, zero, i),
+                                memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((n, blk), lambda i: (zero, i),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((n, padded), jnp.float32)
     x_hi, x_lo = pl.pallas_call(
         functools.partial(_gj_kernel, n),
         grid=grid,
         in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],
         out_specs=(vec_spec, vec_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, padded), jnp.float32),
-            jax.ShapeDtypeStruct((n, padded), jnp.float32),
-        ),
+        out_shape=(out_sds, out_sds),
     )(a_hi, a_lo, b_hi, b_lo)
     x = x_hi.astype(jnp.float64) + x_lo.astype(jnp.float64)
+    if folded:
+        x = x.reshape(n, padded)
     return jnp.transpose(x, (1, 0))[:bsz]
 
 
@@ -241,20 +263,24 @@ def _cell_groups(n, rows, cols, rrows):
 def _build_solve_kernel(n, mat_cells, rhs_cells,
                         vhi_ref, vlo_ref, rhi_ref, rlo_ref,
                         ghi_ref, glo_ref, xhi_ref, xlo_ref):
+    # Lane shape is the refs' trailing dims: 1-D (blk,) for small batches,
+    # sublane-dense (8, W) for large ones (see pallas_path) — a 1-D layout
+    # occupies 1 of 8 sublanes of the f32 vreg and issue-binds the kernel
+    # at 1/8th VPU utilization.
     f32 = jnp.float32
-    blk = vhi_ref.shape[-1]
-    zero = jnp.zeros((blk,), dtype=f32)
-    one = jnp.ones((blk,), dtype=f32)
-    g_hi = ghi_ref[0, :]
-    g_lo = glo_ref[0, :]
+    lanes = vhi_ref.shape[1:]
+    zero = jnp.zeros(lanes, dtype=f32)
+    one = jnp.ones(lanes, dtype=f32)
+    g_hi = ghi_ref[0]
+    g_lo = glo_ref[0]
 
     def cell_sum(src_hi, src_lo, entries, extra=None):
         if not entries and extra is None:
             return zero, zero
         if entries:
-            hi, lo = src_hi[entries[0], :], src_lo[entries[0], :]
+            hi, lo = src_hi[entries[0]], src_lo[entries[0]]
             for e in entries[1:]:
-                hi, lo = _df_add(hi, lo, src_hi[e, :], src_lo[e, :])
+                hi, lo = _df_add(hi, lo, src_hi[e], src_lo[e])
         else:
             hi, lo = zero, zero
         if extra is not None:
@@ -280,7 +306,7 @@ def _build_solve_kernel(n, mat_cells, rhs_cells,
             col_los.append(lo)
         row_his.append(jnp.stack(col_his, axis=0))
         row_los.append(jnp.stack(col_los, axis=0))
-    m_hi = jnp.stack(row_his, axis=0)  # (n, n+1, blk)
+    m_hi = jnp.stack(row_his, axis=0)  # (n, n+1, *lanes)
     m_lo = jnp.stack(row_los, axis=0)
     xhi_ref[...], xlo_ref[...] = _gj_eliminate(n, m_hi, m_lo)
 
@@ -316,14 +342,21 @@ def _solve_stamped_cached(n, rows_b, cols_b, rrows_b):
         return a, b
 
     def pallas_path(vals, rvals, gmin, block=None):
-        if block is None:
-            import os
+        import os
 
-            block = int(os.environ.get("TOYSPICE_BLOCK", "512"))
         bsz = vals.shape[0]
         if nrhs == 0:  # keep the ref shapes static: one dummy zero row
             rvals = jnp.zeros((bsz, 1), vals.dtype)
-        blk = min(block, max(128, ((bsz + 127) // 128) * 128))
+        # >=1024 lanes: fold to sublane-dense (8, W) tiles (8x VPU issue
+        # density); below that the padding waste outweighs the win, keep 1-D
+        folded = bsz >= 1024
+        if block is None:
+            block = int(os.environ.get("TOYSPICE_BLOCK",
+                                       "1024" if folded else "512"))
+        if folded:
+            blk = max(1024, ((min(block, bsz) + 1023) // 1024) * 1024)
+        else:
+            blk = min(block, max(128, ((bsz + 127) // 128) * 128))
         padded = ((bsz + blk - 1) // blk) * blk
         if padded != bsz:
             pad = padded - bsz
@@ -337,9 +370,27 @@ def _solve_stamped_cached(n, rows_b, cols_b, rrows_b):
         g_hi, g_lo = _hi_lo(gmin[None, :])  # (1, B)
 
         zero = np.int32(0)
-        def vec(rows_):
-            return pl.BlockSpec((rows_, blk), lambda i: (zero, i),
-                                memory_space=pltpu.VMEM)
+        if folded:
+            w = blk // 8
+
+            def fold(x):
+                return x.reshape(x.shape[0], 8, padded // 8)
+
+            v_hi, v_lo = fold(v_hi), fold(v_lo)
+            r_hi, r_lo = fold(r_hi), fold(r_lo)
+            g_hi, g_lo = fold(g_hi), fold(g_lo)
+
+            def vec(rows_):
+                return pl.BlockSpec((rows_, 8, w), lambda i: (zero, zero, i),
+                                    memory_space=pltpu.VMEM)
+
+            out_sds = jax.ShapeDtypeStruct((n, 8, padded // 8), jnp.float32)
+        else:
+            def vec(rows_):
+                return pl.BlockSpec((rows_, blk), lambda i: (zero, i),
+                                    memory_space=pltpu.VMEM)
+
+            out_sds = jax.ShapeDtypeStruct((n, padded), jnp.float32)
 
         x_hi, x_lo = pl.pallas_call(
             kernel,
@@ -347,12 +398,11 @@ def _solve_stamped_cached(n, rows_b, cols_b, rrows_b):
             in_specs=[vec(nnz), vec(nnz), vec(max(nrhs, 1)), vec(max(nrhs, 1)),
                       vec(1), vec(1)],
             out_specs=(vec(n), vec(n)),
-            out_shape=(
-                jax.ShapeDtypeStruct((n, padded), jnp.float32),
-                jax.ShapeDtypeStruct((n, padded), jnp.float32),
-            ),
+            out_shape=(out_sds, out_sds),
         )(v_hi, v_lo, r_hi, r_lo, g_hi, g_lo)
         x = x_hi.astype(jnp.float64) + x_lo.astype(jnp.float64)
+        if folded:
+            x = x.reshape(n, padded)
         return jnp.transpose(x, (1, 0))[:bsz]
 
     @jax.custom_batching.custom_vmap

@@ -4,10 +4,24 @@ Runs the Pallas kernel in interpret mode on the CPU test platform; asserts
 EXACT accepted-step/attempt parity with the general vmapped engine and
 state agreement within the double-float noise class (~1e-13 rel)."""
 
+import os
+
 import numpy as np
 import pytest
 
 import jax
+
+
+@pytest.fixture(autouse=True)
+def _restore_fused_env():
+    keys = ("TOYSPICE_TRAN_UNROLL", "TOYSPICE_TRAN_IMPL")
+    saved = {k: os.environ.get(k) for k in keys}
+    yield
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
@@ -163,4 +177,111 @@ def test_fused_eligibility_gates():
                               SimOptions(integration="trap"))
     dcc = compile_circuit(parse(
         "* d\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nD1 2 0 D\n"))
-    assert not fused_eligible(dcc, "compat", "none", opts)
+    assert fused_eligible(dcc, "compat", "none", opts)  # in-kernel Newton
+    qcc = compile_circuit(parse(
+        "* q\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nQ1 1 2 0 QX\n"
+        ".model QX NPN (Bf=100)\n"))
+    assert not fused_eligible(qcc, "compat", "none", opts)
+
+
+# ---- diode decks: in-kernel Newton loop (pnjlim + df exp/log) ----
+
+D_RES = """* diode resistive
+.tran 0.05m 0.5m
+Vin 1 0 SIN(0.3 0.5 2k)
+R1 1 2 200
+D1 2 0 DM
+.model DM D (Is=1e-14 N=1.2)
+"""
+
+D_RECT = """* half-wave rectifier with Tt
+.tran 0.05m 0.5m
+Vin 1 0 SIN(0 3 2k)
+R1 1 2 100
+D1 2 3 DF
+R2 3 0 1k
+C1 3 0 50n
+.model DF D (Is=2e-14 N=1.05 Tt=5n)
+"""
+
+
+# Pallas interpret mode evaluates the in-kernel Newton loop eagerly —
+# seconds per attempt — so the diode parity tests run the IDENTICAL
+# _attempt_core math through plain XLA (TOYSPICE_TRAN_IMPL=xla, compiled,
+# fast); a separate tiny smoke covers the kernel ref plumbing in interpret
+# mode, and full-resolution kernel runs happen on real TPU
+# (tests/tools/ab_fused_tran.py).  Coarse step divisors keep the attempt
+# counts small either way.
+_NL_OPTS = SimOptions(trtol=1e9, tstep_divisor=20.0, minstep_divisor=10.0)
+
+
+def _compare_nl(deck, overrides=None, opts=_NL_OPTS, impl="xla"):
+    """Diode-deck A/B: the general engine solves Newton in f64, the fused
+    kernel in double-float, so NR iteration counts may differ by ±1 on
+    knife-edge lanes; accepted/attempt trajectories must still agree on
+    robust decks, and junction voltages to df precision."""
+    os.environ["TOYSPICE_TRAN_UNROLL"] = "1"
+    os.environ["TOYSPICE_TRAN_IMPL"] = impl
+    cc = compile_circuit(parse(deck))
+    assert fused_eligible(cc, "compat", "none", opts)
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts)
+    state0 = init_state(cc)
+    if not overrides:
+        overrides = {"R": {"value": np.asarray(cc.params["R"]["value"])[None, :]}}
+    params, axes = batch_params(cc, overrides)
+
+    gen = jax.jit(jax.vmap(make_tran(cc, cfg, store="none", opts=opts),
+                           in_axes=(axes, None)))
+    og = gen(params, state0)
+
+    fused = make_tran_fused(cc, cfg, opts)
+    with pltpu.force_tpu_interpret_mode():
+        of = jax.jit(fused)(params, state0)
+
+    np.testing.assert_array_equal(np.asarray(of.accepted),
+                                  np.asarray(og.accepted))
+    np.testing.assert_array_equal(np.asarray(of.attempts),
+                                  np.asarray(og.attempts))
+    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail))
+    jg = np.asarray(og.jv["D"]["vd"])
+    jf = np.asarray(of.jv["D"]["vd"])
+    np.testing.assert_allclose(jf, jg, rtol=1e-9, atol=1e-11)
+    return og, of
+
+
+def test_fused_diode_resistive():
+    og, of = _compare_nl(D_RES)
+    assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
+
+
+def test_fused_diode_rectifier_tt():
+    rv = np.asarray(compile_circuit(parse(D_RECT)).params["R"]["value"])
+    og, of = _compare_nl(D_RECT, {"R": {"value": rv[None, :] * [[1.0], [0.8]]}})
+    # the Tt companion + capacitor make this a genuinely stiff NR problem
+    assert int(np.asarray(og.accepted)[0]) >= 10
+
+
+D_SMOKE = """* diode interpret smoke: ~4 attempts
+.tran 0.02m 0.04m
+Vin 1 0 DC 0.8
+R1 1 2 200
+D1 2 0 DM
+.model DM D (Is=1e-14 N=1.2)
+"""
+
+
+def test_fused_diode_kernel_plumbing_interpret():
+    """A handful of attempts through the REAL kernel path in interpret mode:
+    validates the ref wrapper (jv in/out, extra xlte rows, active-mask dyn
+    row) that the fast impl=xla parity tests bypass.  Interpret mode costs
+    seconds per attempt, hence the micro deck; the kernel build switches to
+    the update-slice form because interpret inlines it into XLA CPU (see
+    _attempt_core on the concatenate-fusion compile explosion)."""
+    os.environ["TOYSPICE_TRAN_KERNEL_BUILD"] = "dus"
+    try:
+        _compare_nl(D_SMOKE, opts=SimOptions(trtol=1e9, tstep_divisor=4.0,
+                                             minstep_divisor=2.0),
+                    impl="kernel")
+    finally:
+        os.environ.pop("TOYSPICE_TRAN_KERNEL_BUILD", None)

@@ -8,9 +8,13 @@ Run on real TPU hardware (no conftest CPU forcing):
 Per deck, a 64-way Monte-Carlo batch (log-normal R/C/L spread) runs through
 both paths; asserted: identical accepted/attempt/fail counts and t_final,
 committed state within the double-float noise class.  This is the solver
-A/B protocol from CLAUDE.md applied to the fused-transient dispatch (the
-nonlinear decks of the standard list are ineligible for the fused path and
-unaffected by it: the dispatch gate is fused_eligible()).
+A/B protocol from CLAUDE.md applied to the fused-transient dispatch.  Diode
+decks (diode2/diode4) exercise the in-kernel Newton loop: the fused kernel
+solves NR in double-float (device eval included) where the general engine is
+f64, so on these decks NR iteration totals may differ on knife-edge lanes;
+accepted/attempt trajectories and exit junction voltages must still agree.
+BJT/MOSFET/magnetic decks remain ineligible and unaffected (gate:
+fused_eligible()).
 """
 
 import os
@@ -32,9 +36,11 @@ from toyspice_tpu.ops.pallas_tran import fused_eligible, make_tran_fused
 
 REFERENCE_CIRCUITS = "/root/reference/circuits"
 
-# every linear fixture with a .tran card (idc.cir is .op-only)
+# every linear fixture with a .tran card (idc.cir is .op-only), plus the
+# diode transient fixtures for the in-kernel Newton path
 DECKS = ["rc.cir", "rl.cir", "rlc.cir", "isin.cir",
-         "ipulse.cir", "ipwl.cir", "vpulse.cir", "vpwl.cir"]
+         "ipulse.cir", "ipwl.cir", "vpulse.cir", "vpwl.cir",
+         "diode2.cir", "diode4.cir"]
 
 B = 64
 
@@ -76,6 +82,11 @@ def run_deck(name):
     np.testing.assert_allclose(np.asarray(of.t_final),
                                np.asarray(og.t_final), rtol=0, atol=0,
                                err_msg=name)
+    if "D" in og.jv:
+        jg = np.asarray(og.jv["D"]["vd"])
+        jf = np.asarray(of.jv["D"]["vd"])
+        np.testing.assert_allclose(jf, jg, rtol=1e-9, atol=1e-11,
+                                   err_msg=f"{name} jv.D.vd")
     worst = 0.0
     for kind in og.state:
         for key in og.state[kind]:

@@ -47,7 +47,8 @@ def make_tran_batch(cc, cfg: TranConfig, in_axes,
     (the persistent compile cache hides the XLA compile, not tracing — a
     measured ~10x on the 8192-way benchmark).
 
-    Linear compat/BE circuits with store='none' route through the fused
+    Compat/BE circuits over R/C/L/V/I (+ diodes, whose Newton loop runs
+    inside the kernel) with store='none' route through the fused
     transient-attempt Pallas kernel (ops/pallas_tran.py) when the Pallas
     solver backend is active — one kernel per attempt instead of a solve
     kernel plus XLA control ops.  TOYSPICE_TRAN=general|fused|auto overrides

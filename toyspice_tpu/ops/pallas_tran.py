@@ -1,4 +1,4 @@
-"""Fused transient-attempt Pallas kernel for LINEAR compat/BE circuits.
+"""Fused transient-attempt Pallas kernel for compat/BE circuits.
 
 The general transient (engine/tran.py) spends ~45% of each attempt outside
 the fused build+solve kernel: XLA-level companion/value ops, the LTE
@@ -24,6 +24,18 @@ state — the same noise class as the fused solve kernel the general engine
 already uses on TPU (ops/pallas_solve.py); step decisions use those values
 against f64 thresholds.  Accepted-step parity vs the general engine is
 asserted by tests/test_fused_tran.py and the on-TPU A/B protocol.
+
+DIODE decks (R/C/L/V/I + D) fuse too: the whole Newton iteration — junction
+update with SPICE3F5 pnjlim limiting (models/limiter.py), Shockley eval with
+the reference's exp-arg clamp and three regions (diode.go:119-148), the Tt
+transit-time companion with the compat frozen prev_charge (PLAN.md 1), the
+matrix build and the Gauss-Jordan solve, and the reference convergence test
+|Δ| ≤ reltol·max(|new|,|old|) + abstol checked from iteration 1 — runs as a
+``lax.while_loop`` INSIDE the kernel, with per-lane freezing exactly like
+JAX's batched while_loop in the general engine (engine/newton.py).  Device
+transcendentals use the double-float exp/log of ops/df_math.py.  The one-time
+OP warm-up for the Newton warm start (tran.go:57-75) runs through the general
+XLA OP engine (rescue ladders included) before the attempt loop starts.
 """
 
 import functools
@@ -37,15 +49,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_solve import _df_add, _df_mul, _df_recip, _gj_eliminate
-from ..consts import TEMP_DEFAULT
+from .df_math import df_exp, df_log
+from ..consts import BOLTZMANN, CHARGE, TEMP_DEFAULT
 
-FUSED_KINDS = {"R", "C", "L", "V", "I"}
+FUSED_KINDS = {"R", "C", "L", "V", "I", "D"}
 
 
 def fused_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
-    """The fused path covers: linear device subset, compat semantics,
-    backward Euler, store='none', default solver knobs that affect the
-    in-kernel math only through f64 scalars (temp is supported)."""
+    """The fused path covers: R/C/L/V/I plus diodes (in-kernel Newton),
+    compat semantics, backward Euler, store='none', solver knobs that affect
+    the in-kernel math only through scalars baked at trace time (temp,
+    reltol/abstol/max_iter are supported)."""
     if semantics != "compat" or store != "none":
         return False
     if opts.integration != "be":
@@ -148,34 +162,190 @@ def _df_const(v, lanes):
     return (jnp.full(lanes, hi, dtype=f32), jnp.full(lanes, lo, dtype=f32))
 
 
-def _fused_kernel(n, counts, layout, cells, rhs_cells,
-                  const_hi_ref, const_lo_ref, dyn_hi_ref, dyn_lo_ref,
-                  st_hi_ref, st_lo_ref,
-                  xlte_ref, stout_ref):
-    # Input refs are (rows, 8, W): the lane axis is folded to sublane-dense
-    # (8, W) tiles so every df op fills all 8 sublanes of the f32 vreg — a
-    # 1-D (blk,) layout occupies 1 of 8 sublanes and issue-binds the kernel
-    # at 1/8th VPU utilization (measured 67.8 of 72.7 us per attempt).
-    #
-    # Output refs are (2, rows, 8, W) with limb axis 0 — the hi and lo limbs
-    # of each df pair MUST leave the kernel through ONE ref: with separate
-    # hi/lo outputs the compiler duplicates the error-free transforms into
-    # two fusions whose last-bit rounding can disagree, yielding pairs like
-    # (hi+ulp, lo-of-hi) that are off by 2^-23 relative (observed in
-    # interpret mode on rl decks).
-    nr_, nc_, nl_, nv_, ni_ = counts
+def _df_where(cond, a, b):
+    return (jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1]))
+
+
+def _pnjlim_df(vnew, vold, vte, invvte, vcr, lanes):
+    """SPICE3F5 DEVpnjlim in double-float (models/limiter.py semantics).
+
+    The discarded branches may produce inf/nan through the df transforms
+    (e.g. log of a clamped-to-tiny argument); ``_df_where`` on the hi-limb
+    condition discards both limbs, so nothing contaminates the result."""
     f32 = jnp.float32
-    lanes = dyn_hi_ref.shape[1:]
+    diff = _df_add(*vnew, *_df_neg(vold))
+    two_vte = (vte[0] * f32(2.0), vte[1] * f32(2.0))  # exact scaling
+    limit = _df_gt(vnew, vcr) & _df_gt(_df_abs(diff), two_vte)
+    one = jnp.ones(lanes, dtype=f32)
+    zero = jnp.zeros(lanes, dtype=f32)
+    arg = _df_add(one, zero, *_df_mul(*diff, *invvte))
+    argpos = arg[0] > 0
+    # pos: vold + vte·ln(arg); the clamp only matters in the discarded region
+    la = df_log(jnp.maximum(arg[0], f32(1e-30)),
+                jnp.where(arg[0] > f32(1e-30), arg[1], zero))
+    pos = _df_where(argpos, _df_add(*vold, *_df_mul(*vte, *la)), vcr)
+    # neg: vte·ln(vnew/vte) — limit implies vnew > vcrit > 0 here
+    ratio = _df_mul(jnp.maximum(vnew[0], f32(1e-30)),
+                    jnp.where(vnew[0] > f32(1e-30), vnew[1], zero), *invvte)
+    neg = _df_mul(*vte, *df_log(*ratio))
+    limited = _df_where(vold[0] > 0, pos, neg)
+    return _df_where(limit, limited, vnew)
+
+
+def _newton_in_kernel(n, nd_, layout, cfgk, build_matrix, const,
+                      jv_hi, jv_lo, dtinv, lanes, act_mask):
+    """The transient Newton loop (engine/newton.py warm-start flavor) inside
+    the attempt, per-lane.  Mirrors the vmapped ``lax.while_loop`` semantics
+    exactly: a lane whose convergence flag latches (or that exhausts
+    max_iter) freezes its whole carry — x, junction voltages and iteration
+    count — while other lanes in the block keep iterating.
+
+    Returns (x_hi, x_lo, iters, converged, jv_pair) where jv_pair stacks the
+    exit junction voltages (the ones used for the last solve, which persist
+    across accept/reject like res.jv in engine/tran.py:184)."""
+    f32 = jnp.float32
+    reltol, abstol, max_iter = cfgk
+    L = layout
+    zero = jnp.zeros(lanes, dtype=f32)
+    one_df = (jnp.ones(lanes, dtype=f32), zero)
+    rel_c = _df_const(reltol, lanes)
+    abs_c = _df_const(abstol, lanes)
+    c40 = _df_const(40.0, lanes)
+
+    invnvt = [const(L["d_invnvt"] + k) for k in range(nd_)]
+    m3nvt = [const(L["d_m3nvt"] + k) for k in range(nd_)]
+    ist = [const(L["d_ist"] + k) for k in range(nd_)]
+    dgmin = [const(L["d_gmin"] + k) for k in range(nd_)]
+    dtt = [const(L["d_tt"] + k) for k in range(nd_)]
+    vte = [const(L["d_vte"] + k) for k in range(nd_)]
+    invvte = [const(L["d_invvte"] + k) for k in range(nd_)]
+    vcr = [const(L["d_vcrit"] + k) for k in range(nd_)]
+    pq = [const(L["d_pq"] + k) for k in range(nd_)]
+
+    jv0_hi = jnp.stack([jv_hi[k, :] for k in range(nd_)])
+    jv0_lo = jnp.stack([jv_lo[k, :] for k in range(nd_)])
+
+    def body(carry):
+        # conv is carried as int32 0/1: Mosaic can't round-trip i1 vectors
+        # through while-loop carries (trunci i8->i1 is unsupported)
+        k, conv, x_hi, x_lo, jvs_hi, jvs_lo = carry
+        active = (conv == 0) & (k < jnp.int32(max_iter))
+        sel0 = k == jnp.int32(0)
+
+        # --- UpdateVoltages + pnjlim (engine/nlstate.py); iteration 0 uses
+        # the carried warm-start voltages (tran.go:174 `if iter > 0`) ---
+        jv_used = []
+        for kd in range(nd_):
+            n1, n2 = L["d_nodes"][kd]
+            xa = (x_hi[n1], x_lo[n1])
+            xb = (x_hi[n2], x_lo[n2])
+            vnew = _df_add(*xa, *_df_neg(xb))
+            vold = (jvs_hi[kd], jvs_lo[kd])
+            vlim = _pnjlim_df(vnew, vold, vte[kd], invvte[kd], vcr[kd], lanes)
+            jv_used.append(_df_where(sel0, (jv0_hi[kd], jv0_lo[kd]), vlim))
+
+        # --- Shockley eval + Tt companion + Norton stamp (diode.go:119-226,
+        # compat prev_charge frozen per PLAN.md 1) ---
+        extra = {}
+
+        def addx(i, j, p):
+            if i == 0:
+                return
+            cur = extra.get((i, j))
+            extra[(i, j)] = p if cur is None else _df_add(*cur, *p)
+
+        for kd in range(nd_):
+            n1, n2 = L["d_nodes"][kd]
+            vd = jv_used[kd]
+            arg = _df_mul(*vd, *invnvt[kd])
+            arg = _df_where(_df_gt(arg, c40), c40, arg)
+            e = df_exp(*arg)
+            ifwd = _df_mul(*ist[kd], *_df_add(*e, *_df_neg(one_df)))
+            fwd = _df_gt(vd, m3nvt[kd])  # vd > -3nVt
+            id_ = _df_where(fwd, ifwd, _df_neg(ist[kd]))
+            gfwd = _df_add(
+                *_df_mul(*_df_add(*_df_abs(id_), *ist[kd]), *invnvt[kd]),
+                *dgmin[kd])
+            gd = _df_where(fwd, gfwd, dgmin[kd])
+            # geq = Tt·gd/dt ; icap = (Tt·id − prev_charge)/dt
+            geq = _df_mul(*_df_mul(*dtt[kd], *gd), *dtinv)
+            cap = _df_mul(*_df_add(*_df_mul(*dtt[kd], *id_), *_df_neg(pq[kd])),
+                          *dtinv)
+            gdp = _df_add(*gd, *geq)
+            idp = _df_add(*id_, *cap)
+            rhs_d = _df_add(*idp, *_df_neg(_df_mul(*gdp, *vd)))
+            addx(n1, n1, gdp)
+            addx(n2, n2, gdp)
+            addx(n1, n2, _df_neg(gdp))
+            addx(n2, n1, _df_neg(gdp))
+            addx(n1, n, _df_neg(rhs_d))
+            addx(n2, n, rhs_d)
+
+        x2_hi, x2_lo = _gj_eliminate(n, *build_matrix(extra))
+
+        # --- reference convergence: from iteration 1, every row
+        # |Δ| ≤ reltol·max(|new|,|old|) + abstol, finite (op.go:67-82) ---
+        allok = None
+        finite = None
+        for r in range(n):
+            new = (x2_hi[r], x2_lo[r])
+            old = (x_hi[r], x_lo[r])
+            d = _df_abs(_df_add(*new, *_df_neg(old)))
+            amax = _df_max(_df_abs(new), _df_abs(old))
+            tol = _df_add(*_df_mul(*amax, *rel_c), *abs_c)
+            okr = ~_df_gt(d, tol)
+            fin = jnp.isfinite(x2_hi[r]) & jnp.isfinite(x2_lo[r])
+            allok = okr if allok is None else (allok & okr)
+            finite = fin if finite is None else (finite & fin)
+        conv_new = (k > jnp.int32(0)) & finite & allok
+
+        # --- per-lane freeze (batched-while_loop masking) ---
+        act_r = active[None]
+        x_hi_n = jnp.where(act_r, x2_hi, x_hi)
+        x_lo_n = jnp.where(act_r, x2_lo, x_lo)
+        jvs_hi_n = jnp.where(act_r, jnp.stack([p[0] for p in jv_used]), jvs_hi)
+        jvs_lo_n = jnp.where(act_r, jnp.stack([p[1] for p in jv_used]), jvs_lo)
+        conv_n = jnp.where(active, conv_new.astype(jnp.int32), conv)
+        k_n = k + active.astype(jnp.int32)
+        return (k_n, conv_n, x_hi_n, x_lo_n, jvs_hi_n, jvs_lo_n)
+
+    def cond(carry):
+        k, conv = carry[0], carry[1]
+        pending = ((conv == 0) & (k < jnp.int32(max_iter))).astype(jnp.int32)
+        # not jnp.any: Mosaic's reduce_or proxy lowering casts bool through
+        # Python float, which x64 promotes to f64 — unlowerable in-kernel
+        return jnp.max(pending) > 0
+
+    zn = jnp.zeros((n,) + lanes, dtype=f32)
+    init = (jnp.zeros(lanes, dtype=jnp.int32),
+            (~act_mask).astype(jnp.int32), zn, zn, jv0_hi, jv0_lo)
+    k, conv, x_hi, x_lo, jvs_hi, jvs_lo = jax.lax.while_loop(cond, body, init)
+    return x_hi, x_lo, k, conv > 0, jnp.stack([jvs_hi, jvs_lo])
+
+
+def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
+                  const_hi, const_lo, dyn_hi, dyn_lo,
+                  st_hi, st_lo, jv_hi, jv_lo, cpu_build=False):
+    """One whole transient attempt as a pure array function:
+    (const/dyn/state/jv double-float stacks) -> (xlte, stout, jvout) with a
+    leading limb axis.  This is the ENTIRE in-kernel math; the Pallas kernel
+    (``_fused_kernel``) is a thin ref wrapper around it, and the same
+    function compiles directly under XLA (``TOYSPICE_TRAN_IMPL=xla``) — the
+    CPU-fast path the parity tests use, since Pallas interpret mode
+    evaluates the Newton loop eagerly at ~seconds per attempt."""
+    nr_, nc_, nl_, nv_, ni_, nd_ = counts
+    f32 = jnp.float32
+    lanes = dyn_hi.shape[1:]
     zero = jnp.zeros(lanes, dtype=f32)
 
     def const(r):
-        return (const_hi_ref[r, :], const_lo_ref[r, :])
+        return (const_hi[r, :], const_lo[r, :])
 
     def dyn(r):
-        return (dyn_hi_ref[r, :], dyn_lo_ref[r, :])
+        return (dyn_hi[r, :], dyn_lo[r, :])
 
     def st(r):
-        return (st_hi_ref[r, :], st_lo_ref[r, :])
+        return (st_hi[r, :], st_lo[r, :])
 
     L = layout  # row-offset dict
     dt = dyn(0)
@@ -208,26 +378,69 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
         return acc
 
     one = jnp.ones(lanes, dtype=f32)
-    row_his, row_los = [], []
-    for i in range(n):
-        col_his, col_los = [], []
+    # Base (linear-device) cell sums, loop-invariant across Newton iterations;
+    # RHS sums are keyed (i, n) in the same dict.
+    base = {}
+    for i in range(1, n):
         for j in range(n + 1):
-            if i == 0:  # ground row: x[0] = 0
-                col_his.append(one if j == 0 else zero)
-                col_los.append(zero)
-                continue
-            if j == n:
-                hi, lo = cell_sum(rhs_cells.get(i, []))
-            else:
-                hi, lo = cell_sum(cells.get((i, j), []))
-            col_his.append(hi)
-            col_los.append(lo)
-        row_his.append(jnp.stack(col_his, axis=0))
-        row_los.append(jnp.stack(col_los, axis=0))
-    m_hi = jnp.stack(row_his, axis=0)
-    m_lo = jnp.stack(row_los, axis=0)
+            terms = rhs_cells.get(i, []) if j == n else cells.get((i, j), [])
+            if terms:
+                base[(i, j)] = cell_sum(terms)
 
-    x_hi, x_lo = _gj_eliminate(n, m_hi, m_lo)
+    def cell(i, j, extra):
+        if i == 0:  # ground row: x[0] = 0
+            return (one, zero) if j == 0 else (zero, zero)
+        p = base.get((i, j), (zero, zero))
+        e = extra.get((i, j))
+        if e is not None:
+            p = _df_add(*p, *e)
+        return p
+
+    if cpu_build:
+        # Plain-XLA impl (CPU tests): assemble via .at[].set chains.  The
+        # jnp.stack build below turns into ONE kLoop concatenate fusion with
+        # every computed cell embedded; XLA CPU's per-element region-dispatch
+        # codegen for it explodes ~30x under LLVM opt (observed 280 KB ->
+        # 7.9 MB of IR per kernel, >10-minute compiles inside the Newton
+        # while body).  Update-slice chains compile linearly.  XLA CPU
+        # deletes optimization_barrier, so this is a structural fix, not an
+        # annotation.
+        def build_matrix(extra):
+            m_hi = jnp.zeros((n, n + 1) + lanes, dtype=f32)
+            m_lo = jnp.zeros_like(m_hi)
+            for i in range(n):
+                for j in range(n + 1):
+                    p = cell(i, j, extra)
+                    if p[0] is not zero:
+                        m_hi = m_hi.at[i, j].set(p[0])
+                    if p[1] is not zero:
+                        m_lo = m_lo.at[i, j].set(p[1])
+            return m_hi, m_lo
+    else:
+        def build_matrix(extra):
+            """Stack the augmented (n, n+1, *lanes) df matrix from base +
+            extra cells; row 0 is the ground identity row."""
+            row_his, row_los = [], []
+            for i in range(n):
+                col_his = [cell(i, j, extra)[0] for j in range(n + 1)]
+                col_los = [cell(i, j, extra)[1] for j in range(n + 1)]
+                row_his.append(jnp.stack(col_his, axis=0))
+                row_los.append(jnp.stack(col_los, axis=0))
+            return jnp.stack(row_his, axis=0), jnp.stack(row_los, axis=0)
+
+    if nd_ == 0:
+        x_hi, x_lo = _gj_eliminate(n, *build_matrix({}))
+        nr_k = None
+        nr_conv = None
+        jvout = jnp.stack([jv_hi, jv_lo])  # passthrough
+    else:
+        # lanes the XLA attempt loop considers inactive (batch padding, or
+        # instances already done) start converged: zero Newton iterations
+        # instead of burning max_iter on their stale/singular systems
+        act_mask = dyn_hi[1 + nv_ + ni_, :] > 0.5
+        x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
+            n, nd_, layout, cfgk, build_matrix, const, jv_hi, jv_lo,
+            dtinv, lanes, act_mask)
 
     def xrow(r):
         return (x_hi[r], x_lo[r])
@@ -252,16 +465,21 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
         v = _df_mul(*_df_mul(*d, *dtinv), *half)
         worst = _df_max(worst, v)
 
-    xlte_ref[...] = jnp.stack([
-        jnp.stack([x_hi[r] for r in range(n)] + [worst[0]]),
-        jnp.stack([x_lo[r] for r in range(n)] + [worst[1]]),
-    ])
+    if nd_ == 0:
+        hi_rows = [x_hi[r] for r in range(n)] + [worst[0]]
+        lo_rows = [x_lo[r] for r in range(n)] + [worst[1]]
+    else:
+        # rows n+1 / n+2: Newton iteration count and convergence flag
+        hi_rows = ([x_hi[r] for r in range(n)]
+                   + [worst[0], nr_k.astype(f32), nr_conv.astype(f32)])
+        lo_rows = ([x_lo[r] for r in range(n)] + [worst[1], zero, zero])
+    xlte = jnp.stack([jnp.stack(hi_rows), jnp.stack(lo_rows)])
 
     # --- commit candidates (compat: capacitor.go:155-171, inductor.go:81-114)
     # default: pass the input state through (also covers the dummy row when
     # the circuit has no C/L state at all)
-    out_rows_hi = [st_hi_ref[r, :] for r in range(st_hi_ref.shape[0])]
-    out_rows_lo = [st_lo_ref[r, :] for r in range(st_hi_ref.shape[0])]
+    out_rows_hi = [st_hi[r, :] for r in range(st_hi.shape[0])]
+    out_rows_lo = [st_lo[r, :] for r in range(st_hi.shape[0])]
 
     def put(r, p):
         out_rows_hi[r], out_rows_lo[r] = p
@@ -286,8 +504,35 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells,
         put(L["l_v1"] + k, st(L["l_v0"] + k))
         put(L["l_flux0"] + k, _df_mul(*vd, *dt))
 
-    stout_ref[...] = jnp.stack([jnp.stack(out_rows_hi, axis=0),
-                                jnp.stack(out_rows_lo, axis=0)])
+    stout = jnp.stack([jnp.stack(out_rows_hi, axis=0),
+                       jnp.stack(out_rows_lo, axis=0)])
+    return xlte, stout, jvout
+
+
+def _fused_kernel(n, counts, layout, cells, rhs_cells, cfgk, dus_build,
+                  const_hi_ref, const_lo_ref, dyn_hi_ref, dyn_lo_ref,
+                  st_hi_ref, st_lo_ref, jv_hi_ref, jv_lo_ref,
+                  xlte_ref, stout_ref, jvout_ref):
+    # Input refs are (rows, 8, W): the lane axis is folded to sublane-dense
+    # (8, W) tiles so every df op fills all 8 sublanes of the f32 vreg — a
+    # 1-D (blk,) layout occupies 1 of 8 sublanes and issue-binds the kernel
+    # at 1/8th VPU utilization (measured 67.8 of 72.7 us per attempt).
+    #
+    # Output refs are (2, rows, 8, W) with limb axis 0 — the hi and lo limbs
+    # of each df pair MUST leave the kernel through ONE ref: with separate
+    # hi/lo outputs the compiler duplicates the error-free transforms into
+    # two fusions whose last-bit rounding can disagree, yielding pairs like
+    # (hi+ulp, lo-of-hi) that are off by 2^-23 relative (observed in
+    # interpret mode on rl decks).
+    xlte, stout, jvout = _attempt_core(
+        n, counts, layout, cells, rhs_cells, cfgk,
+        const_hi_ref[...], const_lo_ref[...],
+        dyn_hi_ref[...], dyn_lo_ref[...],
+        st_hi_ref[...], st_lo_ref[...],
+        jv_hi_ref[...], jv_lo_ref[...], cpu_build=dus_build)
+    xlte_ref[...] = xlte
+    stout_ref[...] = stout
+    jvout_ref[...] = jvout
 
 
 # ----------------------------------------------------------------- wrapper
@@ -300,9 +545,18 @@ def _layout(cc):
     nl_ = cc.kind_count("L") if "L" in cc.idx else 0
     nv_ = cc.kind_count("V") if "V" in cc.idx else 0
     ni_ = cc.kind_count("I") if "I" in cc.idx else 0
+    nd_ = cc.kind_count("D") if "D" in cc.idx else 0
     L = {"g": 0, "cadj": nr_, "craw": nr_ + nc_, "lval": nr_ + 2 * nc_,
          "linv": nr_ + 2 * nc_ + nl_}
-    n_const = nr_ + 2 * nc_ + 2 * nl_
+    base_d = nr_ + 2 * nc_ + 2 * nl_
+    # per-diode attempt-invariant rows: 1/(n·Vt(T)), −3·n·Vt(T), Is(T),
+    # device gmin, Tt, limiter vte = n·Vt_nom, 1/vte, vcrit, and the compat
+    # frozen prev_charge (PLAN.md 1: never committed, so attempt-invariant)
+    for off, key in enumerate(("d_invnvt", "d_m3nvt", "d_ist", "d_gmin",
+                               "d_tt", "d_vte", "d_invvte", "d_vcrit",
+                               "d_pq")):
+        L[key] = base_d + off * nd_
+    n_const = base_d + 9 * nd_
     # state stack rows (same layout for input and commit-candidate output)
     L.update({"c_q0": 0, "c_q1": nc_, "c_v0": 2 * nc_, "c_v1": 3 * nc_,
               "l_i0": 4 * nc_, "l_i1": 4 * nc_ + nl_, "l_v0": 4 * nc_ + 2 * nl_,
@@ -312,7 +566,9 @@ def _layout(cc):
                     if nc_ else [])
     L["l_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["L"]["nodes"])]
                     if nl_ else [])
-    return (nr_, nc_, nl_, nv_, ni_), L, n_const, n_state
+    L["d_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["D"]["nodes"])]
+                    if nd_ else [])
+    return (nr_, nc_, nl_, nv_, ni_, nd_), L, n_const, n_state
 
 
 def _hi_lo(x64):
@@ -343,17 +599,28 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
     (the control flow below is a line-for-line counterpart; state/LTE/solve
     run in-kernel).
     """
+    from ..engine.op import make_op
     from ..engine.tran import TranOutput
     from ..models.sources import eval_sources_lanes
+    from ..models import diode as diode_model
+    from ..models.limiter import vcrit as vcrit_fn
 
     counts, layout, n_const, n_state = _layout(cc)
-    nr_, nc_, nl_, nv_, ni_ = counts
+    nr_, nc_, nl_, nv_, ni_, nd_ = counts
     n = cc.np1
     cells, rhs_cells = _build_plan(cc)
     cells = {k: tuple(v) for k, v in cells.items()}
     rhs_cells = {k: tuple(v) for k, v in rhs_cells.items()}
-    kernel = functools.partial(_fused_kernel, n, counts, layout, cells,
-                               rhs_cells)
+    cfgk = (opts.reltol, opts.abstol, opts.max_iter)
+    # TOYSPICE_TRAN_KERNEL_BUILD=dus: the interpret-mode smoke test inlines
+    # the kernel into XLA CPU, which needs the update-slice matrix build
+    # (see _attempt_core) to avoid the concatenate-fusion compile explosion;
+    # real Mosaic keeps the stack build.
+    kernel = functools.partial(
+        _fused_kernel, n, counts, layout, cells, rhs_cells, cfgk,
+        os.environ.get("TOYSPICE_TRAN_KERNEL_BUILD") == "dus")
+    extra = 2 if nd_ else 0  # xlte rows: NR iteration count + converged flag
+    op_execute = make_op(cc, opts)[0] if nd_ else None
     # lanes per grid block (rounded up to a multiple of 1024 = 8 sublanes x
     # 128 lanes); measured on v5e at the 8192-way benchmark: 1024 -> 285.6M
     # steps/s, 2048 -> 264M, 4096 -> 243M, 8192 -> 223M.  The general solve
@@ -413,9 +680,53 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
         if nl_:
             lv = _lanes(params["L"]["value"], nl_, bp)
             rows.extend([lv, 1.0 / lv])
+        if nd_:
+            pdl = {k: _lanes(params["D"][k], nd_, bp)
+                   for k in ("n", "is_", "tt", "gmin", "eg", "xti")}
+            vt_t = diode_model.thermal_voltage(jnp.float64(temp))
+            nvt = pdl["n"] * vt_t
+            is_t = diode_model.temperature_adjusted_is(pdl, temp)
+            # the limiter runs at NOMINAL temperature with the raw Is
+            # (engine/nlstate.py:22,49-51), unlike the device eval
+            vte_lim = pdl["n"] * (BOLTZMANN * TEMP_DEFAULT / CHARGE)
+            pq0 = state0.get("D", {}).get("prev_charge")
+            pq0 = (jnp.zeros((nd_, bp), dtype=jnp.float64) if pq0 is None
+                   else _lanes(pq0, nd_, bp))
+            rows.extend([1.0 / nvt, -3.0 * nvt, is_t, pdl["gmin"], pdl["tt"],
+                         vte_lim, 1.0 / vte_lim,
+                         vcrit_fn(vte_lim, pdl["is_"]), pq0])
         const64 = (jnp.concatenate(rows, axis=0) if rows
                    else jnp.zeros((1, bp), dtype=jnp.float64))
         const_hi, const_lo = _hi_lo(const64)
+
+        # ---- junction-voltage warm start: the OP bias point (tran.go:57-75)
+        # through the general XLA engine, rescue ladders included ----
+        if nd_:
+            if cfg.uic:
+                jv64 = jnp.zeros((nd_, bp), dtype=jnp.float64)
+            else:
+                paxes = {kind: {k: (0 if (k not in ("pwl_t", "pwl_v")
+                                          and jnp.asarray(v).ndim == 2)
+                                    else None)
+                                for k, v in tbl.items()}
+                         for kind, tbl in params.items()}
+                saxes = {kind: {k: (0 if jnp.asarray(v).ndim == 2 else None)
+                                for k, v in tbl.items()}
+                         for kind, tbl in state0.items()}
+                mapped = any(a == 0
+                             for t in list(paxes.values()) + list(saxes.values())
+                             for a in t.values())
+                if mapped:
+                    opr = jax.vmap(op_execute, in_axes=(paxes, saxes))(
+                        params, state0)
+                else:
+                    opr = op_execute(params, state0)
+                jv64 = _lanes(opr.jv["D"]["vd"], nd_, bp)
+            jvh0, jvl0 = _hi_lo(jv64)
+        else:
+            jvh0 = jnp.zeros((1, bp), dtype=jnp.float32)
+            jvl0 = jnp.zeros((1, bp), dtype=jnp.float32)
+        kj = jvh0.shape[0]
 
         # ---- initial state stack ----
         def srow(kind, key, nk):
@@ -457,20 +768,44 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                                 lambda i: (zero, zero, zero, i),
                                 memory_space=pltpu.VMEM)
 
-        def attempt(dyn64, st_hi, st_lo):
+        # TOYSPICE_TRAN_IMPL=kernel (default) runs the attempt as the Pallas
+        # kernel; =xla compiles the identical _attempt_core math as plain
+        # XLA ops — bit-identical per-op semantics (same f32 df transforms,
+        # modulo compiler fma contraction which _exact() blocks), used by the
+        # CPU parity tests where Pallas interpret mode is ~1000x slower.
+        impl = os.environ.get("TOYSPICE_TRAN_IMPL", "kernel")
+
+        def attempt_xla(dyn64, st_hi, st_lo, jv_hi, jv_lo):
             dyn_hi, dyn_lo = _hi_lo(dyn64)
-            xlte, stout = pl.pallas_call(
+            xlte, stout, jvout = _attempt_core(
+                n, counts, layout, cells, rhs_cells, cfgk,
+                const_hi, const_lo, fold(dyn_hi), fold(dyn_lo),
+                st_hi, st_lo, jv_hi, jv_lo, cpu_build=True)
+            return (xlte[0], xlte[1], stout[0], stout[1],
+                    jvout[0], jvout[1])
+
+        def attempt(dyn64, st_hi, st_lo, jv_hi, jv_lo):
+            dyn_hi, dyn_lo = _hi_lo(dyn64)
+            xlte, stout, jvout = pl.pallas_call(
                 kernel,
                 grid=(bp // blk,),
                 in_specs=[vec(const_hi.shape[0])] * 2
-                         + [vec(dyn_hi.shape[0])] * 2 + [vec(ks)] * 2,
-                out_specs=(vec2(n + 1), vec2(ks)),
+                         + [vec(dyn_hi.shape[0])] * 2 + [vec(ks)] * 2
+                         + [vec(kj)] * 2,
+                out_specs=(vec2(n + 1 + extra), vec2(ks), vec2(kj)),
                 out_shape=(
-                    jax.ShapeDtypeStruct((2, n + 1, 8, bp // 8), jnp.float32),
+                    jax.ShapeDtypeStruct((2, n + 1 + extra, 8, bp // 8),
+                                         jnp.float32),
                     jax.ShapeDtypeStruct((2, ks, 8, bp // 8), jnp.float32),
+                    jax.ShapeDtypeStruct((2, kj, 8, bp // 8), jnp.float32),
                 ),
-            )(const_hi, const_lo, fold(dyn_hi), fold(dyn_lo), st_hi, st_lo)
-            return xlte[0], xlte[1], stout[0], stout[1]
+            )(const_hi, const_lo, fold(dyn_hi), fold(dyn_lo), st_hi, st_lo,
+              jv_hi, jv_lo)
+            return (xlte[0], xlte[1], stout[0], stout[1],
+                    jvout[0], jvout[1])
+
+        if impl == "xla":
+            attempt = attempt_xla
 
         # pad lanes beyond b start done (their kernel output is never used)
         lane = jnp.arange(bp)
@@ -482,6 +817,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             done=pad | jnp.full(bp, cfg.tstop <= 0.0),
             fail=jnp.zeros(bp, dtype=bool),
             st_hi=fold(st_hi0), st_lo=fold(st_lo0),
+            jv_hi=fold(jvh0), jv_lo=fold(jvl0),
             accepted=jnp.zeros(bp, dtype=jnp.int32),
             attempts=jnp.zeros(bp, dtype=jnp.int32),
             nr_iters=jnp.zeros(bp, dtype=jnp.int32),
@@ -512,27 +848,41 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             if ni_:
                 drows.append(eval_sources_lanes(
                     cc.idx["I"]["stype"], pi, t, bp))
+            if nd_:
+                # active-lane mask for the in-kernel Newton loop (inactive
+                # lanes skip NR entirely instead of spinning to max_iter)
+                drows.append(active.astype(f64)[None, :])
             dyn64 = jnp.concatenate(drows, axis=0)
 
-            xlte_hi, xlte_lo, stout_hi, stout_lo = attempt(
-                dyn64, c["st_hi"], c["st_lo"])
-            xlte_hi = xlte_hi.reshape(n + 1, bp)  # unfold lane tiles
-            xlte_lo = xlte_lo.reshape(n + 1, bp)
+            xlte_hi, xlte_lo, stout_hi, stout_lo, jvout_hi, jvout_lo = attempt(
+                dyn64, c["st_hi"], c["st_lo"], c["jv_hi"], c["jv_lo"])
+            xlte_hi = xlte_hi.reshape(n + 1 + extra, bp)  # unfold lane tiles
+            xlte_lo = xlte_lo.reshape(n + 1 + extra, bp)
 
-            finite = jnp.all(jnp.isfinite(xlte_hi[:n])
-                             & jnp.isfinite(xlte_lo[:n]), axis=0)
             lte = (xlte_hi[n].astype(f64) + xlte_lo[n].astype(f64))
+            if nd_:
+                # NR convergence verdict and iteration count from the kernel
+                nr_ok = xlte_hi[n + 2] > 0.5
+                nr_it = xlte_hi[n + 1].astype(jnp.int32)
+            else:
+                nr_ok = jnp.all(jnp.isfinite(xlte_hi[:n])
+                                & jnp.isfinite(xlte_lo[:n]), axis=0)
+                nr_it = jnp.ones(bp, dtype=jnp.int32)
 
             can_halve = dt_eff > cfg.minstep
-            nr_fail = ~finite
+            nr_fail = ~nr_ok
             hard_fail = nr_fail & ~can_halve
-            reject = (nr_fail & can_halve) | (finite & (lte > trtol) & can_halve)
-            accept = finite & ~reject
+            reject = (nr_fail & can_halve) | (nr_ok & (lte > trtol) & can_halve)
+            accept = nr_ok & ~reject
 
             acc_act = accept & active
             acc3 = acc_act.reshape(8, bp // 8)[None]
             st_hi = jnp.where(acc3, stout_hi, c["st_hi"])
             st_lo = jnp.where(acc3, stout_lo, c["st_lo"])
+            # junction voltages persist across rejects too (tran.py:184)
+            act3 = active.reshape(8, bp // 8)[None]
+            jv_hi = jnp.where(act3, jvout_hi, c["jv_hi"])
+            jv_lo = jnp.where(act3, jvout_lo, c["jv_lo"])
 
             t_new = jnp.where(acc_act, next_t, t)
             grow = jnp.where(lte < trtol / 100.0, 2.0, 1.1)
@@ -550,9 +900,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 t=t_new, dt=dt_new, done=done,
                 fail=c["fail"] | (hard_fail & active),
                 st_hi=st_hi, st_lo=st_lo,
+                jv_hi=jv_hi, jv_lo=jv_lo,
                 accepted=c["accepted"] + acc_act.astype(jnp.int32),
                 attempts=c["attempts"] + active.astype(jnp.int32),
-                nr_iters=c["nr_iters"] + active.astype(jnp.int32),
+                nr_iters=c["nr_iters"] + nr_it * active.astype(jnp.int32),
             )
 
         def unrolled_body(c):
@@ -588,6 +939,17 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 "flux0": grab(layout["l_flux0"], nl_),
                 "hist": jnp.where(started, 1.0, hist0),
             }
+        if nd_:
+            # compat: diode transient state is never committed (PLAN.md 1) —
+            # pass state0 through, broadcast to the batch like the general
+            # engine's vmapped tree_map does
+            state["D"] = {k: _lanes(state0["D"][k], nd_, bp)[:, :b].T
+                          for k in state0["D"]}
+            jvf = (c["jv_hi"].astype(f64)
+                   + c["jv_lo"].astype(f64)).reshape(kj, bp)[:, :b]
+            jv_out = {"D": {"vd": jnp.transpose(jvf, (1, 0))}}
+        else:
+            jv_out = {}
 
         return TranOutput(
             out_x=jnp.zeros((b, 1, n), dtype=f64),
@@ -599,7 +961,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             nr_iters=c["nr_iters"][:b],
             t_final=c["t"][:b],
             state=state,
-            jv={},
+            jv=jv_out,
         )
 
     return tran_fused

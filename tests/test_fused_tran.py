@@ -181,7 +181,11 @@ def test_fused_eligibility_gates():
     qcc = compile_circuit(parse(
         "* q\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nQ1 1 2 0 QX\n"
         ".model QX NPN (Bf=100)\n"))
-    assert not fused_eligible(qcc, "compat", "none", opts)
+    assert fused_eligible(qcc, "compat", "none", opts)  # in-kernel Newton
+    mcc = compile_circuit(parse(
+        "* m\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nM1 2 1 0 0 MX\n"
+        ".model MX NMOS (Vto=1)\n"))
+    assert not fused_eligible(mcc, "compat", "none", opts)
 
 
 # ---- diode decks: in-kernel Newton loop (pnjlim + df exp/log) ----
@@ -244,9 +248,20 @@ def _compare_nl(deck, overrides=None, opts=_NL_OPTS, impl="xla"):
     np.testing.assert_array_equal(np.asarray(of.attempts),
                                   np.asarray(og.attempts))
     np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail))
-    jg = np.asarray(og.jv["D"]["vd"])
-    jf = np.asarray(of.jv["D"]["vd"])
-    np.testing.assert_allclose(jf, jg, rtol=1e-9, atol=1e-11)
+    # Diode-only decks: conductances are analytic, both engines take
+    # df-identical Newton iterates, exit jv agrees to df noise.  Any BJT in
+    # the deck switches the bound to reltol-of-NR for EVERY junction: the
+    # numerically differenced Jacobian (models/bjt.py) amplifies df noise on
+    # the finite differences (~1e-10 rel) into a shifted Newton stopping
+    # point within the convergence tolerance, and the perturbed solution
+    # vector carries that to all devices sharing the system.
+    rtol, atol = (1e-6, 1e-8) if "Q" in og.jv else (1e-9, 1e-11)
+    for kind in og.jv:
+        for key in og.jv[kind]:
+            jg = np.asarray(og.jv[kind][key])
+            jf = np.asarray(of.jv[kind][key])
+            np.testing.assert_allclose(jf, jg, rtol=rtol, atol=atol,
+                                       err_msg=f"jv.{kind}.{key}")
     return og, of
 
 
@@ -260,6 +275,53 @@ def test_fused_diode_rectifier_tt():
     og, of = _compare_nl(D_RECT, {"R": {"value": rv[None, :] * [[1.0], [0.8]]}})
     # the Tt companion + capacitor make this a genuinely stiff NR problem
     assert int(np.asarray(og.accepted)[0]) >= 10
+
+
+# ---- BJT decks: Ebers-Moll + numeric Jacobian in-kernel ----
+
+Q_SWITCH = """* common-emitter switch (reference bjt2.cir topology, coarser)
+.tran 5u 150u
+VCC 1 0 DC 10
+VB 4 0 PULSE(0 5 0 1u 1u 100u 200u)
+RB 4 2 10
+Q1 3 2 0 Q2N3904
+RC 1 3 10k
+.model Q2N3904 NPN(Is=1e-14 Bf=100 Vaf=100)
+"""
+
+Q_PNP = """* PNP bias: sign handling + cold-start path
+.tran 10u 200u
+VCC 1 0 DC -5
+RB 1 2 100k
+Q1 3 2 0 QP
+RC 1 3 1k
+.model QP PNP(Bf=50)
+"""
+
+
+def test_fused_bjt_switch():
+    og, of = _compare_nl(Q_SWITCH)
+    assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
+
+
+def test_fused_bjt_pnp():
+    _compare_nl(Q_PNP)
+
+
+def test_fused_bjt_diode_mixed():
+    deck = """* BJT + diode in one deck: both jv families in-kernel
+.tran 10u 200u
+VCC 1 0 DC 5
+RB 1 2 47k
+Q1 3 2 0 QN
+RC 1 3 2.2k
+D1 3 4 DM
+R2 4 0 10k
+.model QN NPN(Bf=80)
+.model DM D(Is=1e-14)
+"""
+    og, of = _compare_nl(deck)
+    assert "D" in og.jv and "Q" in og.jv
 
 
 D_SMOKE = """* diode interpret smoke: ~4 attempts

@@ -1,14 +1,16 @@
-"""On-TPU throughput A/B for the nonlinear (diode) fused transient kernel.
+"""On-TPU throughput A/B for the nonlinear (in-kernel Newton) fused
+transient kernel.
 
 Run on real TPU hardware (no conftest CPU forcing):
 
-    python tests/tools/bench_diode.py [batch]
+    python tests/tools/bench_diode.py [batch] [deck.cir]
 
-Times the reference diode2.cir half-wave rectifier (diode.go's headline
-nonlinear transient fixture) as a Monte-Carlo batch through both transient
-paths — the general vmapped engine (TOYSPICE_TRAN=general) and the fused
-kernel with the in-kernel Newton loop — and prints aggregate accepted
-timesteps/sec plus the Newton-iteration totals for each.
+Times a nonlinear reference fixture (default: diode2.cir, the half-wave
+rectifier; pass e.g. bjt2.cir for the Ebers-Moll path) as a Monte-Carlo
+batch through both transient paths — the general vmapped engine
+(TOYSPICE_TRAN=general) and the fused kernel with the in-kernel Newton
+loop — and prints aggregate accepted timesteps/sec plus the
+Newton-iteration totals for each.
 """
 
 import os
@@ -35,6 +37,8 @@ r1 2 0 1k
 """
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+if len(sys.argv) > 2:
+    DECK = open(os.path.join("/root/reference/circuits", sys.argv[2])).read()
 
 
 def run(mode):

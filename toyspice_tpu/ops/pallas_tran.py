@@ -36,6 +36,16 @@ JAX's batched while_loop in the general engine (engine/newton.py).  Device
 transcendentals use the double-float exp/log of ops/df_math.py.  The one-time
 OP warm-up for the Newton warm start (tran.go:57-75) runs through the general
 XLA OP engine (rescue ladders included) before the attempt loop starts.
+
+BJT decks fuse the same way: the Ebers-Moll eval (bjt.go:214-255 with the
+exp-arg clamp, Early voltage, knee roll-off and NPN/PNP sign handling), the
+consistent numerically-differenced Jacobian (models/bjt.py jacobian — the
+engine's PLAN.md 10 deviation from the reference's inconsistent hand stamp),
+per-junction pnjlim limiting of vbe/vbc and the reference cold-start guess
+(bjt.go:110-120) all run inside the Newton while_loop in double-float.
+Transient BJT stamping is DC-only, matching the reference where
+StampTransient is dead code (PLAN.md 1), and Q state (qbe/qbc) is never
+committed — passthrough like the diode state.
 """
 
 import functools
@@ -49,17 +59,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_solve import _df_add, _df_mul, _df_recip, _gj_eliminate
-from .df_math import df_exp, df_log
+from .df_math import df_div, df_exp, df_log
 from ..consts import BOLTZMANN, CHARGE, TEMP_DEFAULT
 
-FUSED_KINDS = {"R", "C", "L", "V", "I", "D"}
+FUSED_KINDS = {"R", "C", "L", "V", "I", "D", "Q"}
 
 
 def fused_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
-    """The fused path covers: R/C/L/V/I plus diodes (in-kernel Newton),
-    compat semantics, backward Euler, store='none', solver knobs that affect
-    the in-kernel math only through scalars baked at trace time (temp,
-    reltol/abstol/max_iter are supported)."""
+    """The fused path covers: R/C/L/V/I plus diodes and BJTs (in-kernel
+    Newton), compat semantics, backward Euler, store='none', solver knobs
+    that affect the in-kernel math only through scalars baked at trace time
+    (temp, reltol/abstol/max_iter are supported)."""
     if semantics != "compat" or store != "none":
         return False
     if opts.integration != "be":
@@ -192,7 +202,7 @@ def _pnjlim_df(vnew, vold, vte, invvte, vcr, lanes):
     return _df_where(limit, limited, vnew)
 
 
-def _newton_in_kernel(n, nd_, layout, cfgk, build_matrix, const,
+def _newton_in_kernel(n, nd_, nq_, layout, cfgk, build_matrix, const,
                       jv_hi, jv_lo, dtinv, lanes, act_mask):
     """The transient Newton loop (engine/newton.py warm-start flavor) inside
     the attempt, per-lane.  Mirrors the vmapped ``lax.while_loop`` semantics
@@ -206,6 +216,7 @@ def _newton_in_kernel(n, nd_, layout, cfgk, build_matrix, const,
     f32 = jnp.float32
     reltol, abstol, max_iter = cfgk
     L = layout
+    kj = nd_ + 2 * nq_
     zero = jnp.zeros(lanes, dtype=f32)
     one_df = (jnp.ones(lanes, dtype=f32), zero)
     rel_c = _df_const(reltol, lanes)
@@ -222,8 +233,48 @@ def _newton_in_kernel(n, nd_, layout, cfgk, build_matrix, const,
     vcr = [const(L["d_vcrit"] + k) for k in range(nd_)]
     pq = [const(L["d_pq"] + k) for k in range(nd_)]
 
-    jv0_hi = jnp.stack([jv_hi[k, :] for k in range(nd_)])
-    jv0_lo = jnp.stack([jv_lo[k, :] for k in range(nd_)])
+    qrow = {key: [const(L[key] + k) for k in range(nq_)]
+            for key in ("q_invnfvt", "q_invnrvt", "q_sies", "q_sics",
+                        "q_invvaf", "q_invvar", "q_invikf", "q_invikr",
+                        "q_alphaf", "q_sign",
+                        "q_vtef", "q_invvtef", "q_vcritf",
+                        "q_vter", "q_invvter", "q_vcritr",
+                        "q_vbe0", "q_vbc0")}
+
+    def q_currents(kq, vbe, vbc):
+        """Ebers-Moll (ic, ib) — models/bjt.py currents() in double-float.
+        qbinv = 1/qb = 1 - vbc·inv_vaf; the inv_* rows are 0 when the knob
+        is off, making every factor collapse to the reference's untouched
+        branch algebraically (1·x, /1)."""
+        a1 = _df_mul(*vbe, *qrow["q_invnfvt"][kq])
+        a1 = _df_where(_df_gt(a1, c40), c40, a1)
+        a2 = _df_mul(*vbc, *qrow["q_invnrvt"][kq])
+        a2 = _df_where(_df_gt(a2, c40), c40, a2)
+        e1 = df_exp(*a1)
+        e2 = df_exp(*a2)
+        i_f = _df_mul(*qrow["q_sies"][kq], *_df_add(*e1, *_df_neg(one_df)))
+        i_r = _df_mul(*qrow["q_sics"][kq], *_df_add(*e2, *_df_neg(one_df)))
+        qbinv = _df_add(*one_df,
+                        *_df_neg(_df_mul(*vbc, *qrow["q_invvaf"][kq])))
+        i_f = _df_mul(*i_f, *qbinv)  # Early: ·(1 - vbc/vaf)
+        i_r = _df_mul(*i_r, *_df_add(*one_df,
+                                     *_df_mul(*vbe, *qrow["q_invvar"][kq])))
+        den_f = _df_add(*one_df, *_df_mul(
+            *_df_mul(*_df_abs(i_f), *qrow["q_invikf"][kq]), *qbinv))
+        i_f = df_div(*i_f, *den_f)  # knee roll-off
+        den_r = _df_add(*one_df, *_df_mul(
+            *_df_mul(*_df_abs(i_r), *qrow["q_invikr"][kq]), *qbinv))
+        i_r = df_div(*i_r, *den_r)
+        sgn = qrow["q_sign"][kq]
+        ie = _df_mul(*sgn, *_df_add(*i_f, *_df_neg(i_r)))
+        ic = _df_mul(*sgn, *_df_mul(
+            *_df_add(*_df_mul(*qrow["q_alphaf"][kq], *i_f), *_df_neg(i_r)),
+            *qbinv))
+        ib = _df_add(*ie, *_df_neg(ic))
+        return ic, ib
+
+    jv0_hi = jnp.stack([jv_hi[k, :] for k in range(kj)])
+    jv0_lo = jnp.stack([jv_lo[k, :] for k in range(kj)])
 
     def body(carry):
         # conv is carried as int32 0/1: Mosaic can't round-trip i1 vectors
@@ -234,15 +285,34 @@ def _newton_in_kernel(n, nd_, layout, cfgk, build_matrix, const,
 
         # --- UpdateVoltages + pnjlim (engine/nlstate.py); iteration 0 uses
         # the carried warm-start voltages (tran.go:174 `if iter > 0`) ---
-        jv_used = []
+        def limited_row(row, vnew, vte_p, invvte_p, vcr_p):
+            vold = (jvs_hi[row], jvs_lo[row])
+            vlim = _pnjlim_df(vnew, vold, vte_p, invvte_p, vcr_p, lanes)
+            return _df_where(sel0, (jv0_hi[row], jv0_lo[row]), vlim)
+
+        jv_used = [None] * kj
         for kd in range(nd_):
             n1, n2 = L["d_nodes"][kd]
-            xa = (x_hi[n1], x_lo[n1])
-            xb = (x_hi[n2], x_lo[n2])
-            vnew = _df_add(*xa, *_df_neg(xb))
-            vold = (jvs_hi[kd], jvs_lo[kd])
-            vlim = _pnjlim_df(vnew, vold, vte[kd], invvte[kd], vcr[kd], lanes)
-            jv_used.append(_df_where(sel0, (jv0_hi[kd], jv0_lo[kd]), vlim))
+            vnew = _df_add(x_hi[n1], x_lo[n1],
+                           *_df_neg((x_hi[n2], x_lo[n2])))
+            jv_used[L["jv_d"] + kd] = limited_row(
+                L["jv_d"] + kd, vnew, vte[kd], invvte[kd], vcr[kd])
+        for kq in range(nq_):
+            ncn, nbn, nen = L["q_nodes"][kq]
+            npn = qrow["q_sign"][kq][0] > 0
+            # vbe = sign·(vb − ve), vbc = sign·(vb − vc)  (nlstate.py:61-62)
+            be_raw = _df_add(x_hi[nbn], x_lo[nbn],
+                             *_df_neg((x_hi[nen], x_lo[nen])))
+            bc_raw = _df_add(x_hi[nbn], x_lo[nbn],
+                             *_df_neg((x_hi[ncn], x_lo[ncn])))
+            vbe_new = _df_where(npn, be_raw, _df_neg(be_raw))
+            vbc_new = _df_where(npn, bc_raw, _df_neg(bc_raw))
+            jv_used[L["jv_qbe"] + kq] = limited_row(
+                L["jv_qbe"] + kq, vbe_new, qrow["q_vtef"][kq],
+                qrow["q_invvtef"][kq], qrow["q_vcritf"][kq])
+            jv_used[L["jv_qbc"] + kq] = limited_row(
+                L["jv_qbc"] + kq, vbc_new, qrow["q_vter"][kq],
+                qrow["q_invvter"][kq], qrow["q_vcritr"][kq])
 
         # --- Shockley eval + Tt companion + Norton stamp (diode.go:119-226,
         # compat prev_charge frozen per PLAN.md 1) ---
@@ -256,7 +326,7 @@ def _newton_in_kernel(n, nd_, layout, cfgk, build_matrix, const,
 
         for kd in range(nd_):
             n1, n2 = L["d_nodes"][kd]
-            vd = jv_used[kd]
+            vd = jv_used[L["jv_d"] + kd]
             arg = _df_mul(*vd, *invnvt[kd])
             arg = _df_where(_df_gt(arg, c40), c40, arg)
             e = df_exp(*arg)
@@ -280,6 +350,54 @@ def _newton_in_kernel(n, nd_, layout, cfgk, build_matrix, const,
             addx(n2, n1, _df_neg(gdp))
             addx(n1, n, _df_neg(rhs_d))
             addx(n2, n, rhs_d)
+
+        # --- Ebers-Moll eval + consistent numeric Jacobian + stamp
+        # (ops/assemble.py:368-393; cold start bjt.go:110-120 applied to the
+        # EVAL voltages only — the carried jv stays raw, like the general
+        # engine where cold_start lives inside assemble) ---
+        if nq_:
+            d_c = _df_const(1e-6, lanes)  # models/bjt.py _DELTA
+        for kq in range(nq_):
+            ncn, nbn, nen = L["q_nodes"][kq]
+            vbe_u = jv_used[L["jv_qbe"] + kq]
+            vbc_u = jv_used[L["jv_qbc"] + kq]
+            cold = ((vbe_u[0] == 0) & (vbe_u[1] == 0)
+                    & (vbc_u[0] == 0) & (vbc_u[1] == 0))
+            vbe = _df_where(cold, qrow["q_vbe0"][kq], vbe_u)
+            vbc = _df_where(cold, qrow["q_vbc0"][kq], vbc_u)
+
+            ic0, ib0 = q_currents(kq, vbe, vbc)
+            icp, ibp = q_currents(kq, _df_add(*vbe, *d_c), vbc)
+            icq, ibq = q_currents(kq, vbe, _df_add(*vbc, *d_c))
+            g11 = df_div(*_df_add(*icp, *_df_neg(ic0)), *d_c)
+            g12 = df_div(*_df_add(*icq, *_df_neg(ic0)), *d_c)
+            g21 = df_div(*_df_add(*ibp, *_df_neg(ib0)), *d_c)
+            g22 = df_div(*_df_add(*ibq, *_df_neg(ib0)), *d_c)
+
+            sb = qrow["q_sign"][kq]
+            g1112 = _df_add(*g11, *g12)
+            g2122 = _df_add(*g21, *g22)
+            g1121 = _df_add(*g11, *g21)
+            g1222 = _df_add(*g12, *g22)
+            addx(ncn, nbn, _df_mul(*g1112, *sb))
+            addx(ncn, nen, _df_neg(_df_mul(*g11, *sb)))
+            addx(ncn, ncn, _df_neg(_df_mul(*g12, *sb)))
+            addx(nbn, nbn, _df_mul(*g2122, *sb))
+            addx(nbn, nen, _df_neg(_df_mul(*g21, *sb)))
+            addx(nbn, ncn, _df_neg(_df_mul(*g22, *sb)))
+            addx(nen, nbn, _df_neg(_df_mul(*_df_add(*g1112, *g2122), *sb)))
+            addx(nen, nen, _df_mul(*g1121, *sb))
+            addx(nen, ncn, _df_mul(*g1222, *sb))
+            addx(ncn, n, _df_add(
+                *_df_add(*_df_neg(ic0), *_df_mul(*g11, *vbe)),
+                *_df_mul(*g12, *vbc)))
+            addx(nbn, n, _df_add(
+                *_df_add(*_df_neg(ib0), *_df_mul(*g21, *vbe)),
+                *_df_mul(*g22, *vbc)))
+            addx(nen, n, _df_add(
+                *_df_add(*ic0, *ib0),
+                *_df_neg(_df_add(*_df_mul(*g1121, *vbe),
+                                 *_df_mul(*g1222, *vbc)))))
 
         x2_hi, x2_lo = _gj_eliminate(n, *build_matrix(extra))
 
@@ -333,7 +451,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
     function compiles directly under XLA (``TOYSPICE_TRAN_IMPL=xla``) — the
     CPU-fast path the parity tests use, since Pallas interpret mode
     evaluates the Newton loop eagerly at ~seconds per attempt."""
-    nr_, nc_, nl_, nv_, ni_, nd_ = counts
+    nr_, nc_, nl_, nv_, ni_, nd_, nq_ = counts
     f32 = jnp.float32
     lanes = dyn_hi.shape[1:]
     zero = jnp.zeros(lanes, dtype=f32)
@@ -428,7 +546,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
                 row_los.append(jnp.stack(col_los, axis=0))
             return jnp.stack(row_his, axis=0), jnp.stack(row_los, axis=0)
 
-    if nd_ == 0:
+    if nd_ == 0 and nq_ == 0:
         x_hi, x_lo = _gj_eliminate(n, *build_matrix({}))
         nr_k = None
         nr_conv = None
@@ -439,7 +557,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
         # instead of burning max_iter on their stale/singular systems
         act_mask = dyn_hi[1 + nv_ + ni_, :] > 0.5
         x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
-            n, nd_, layout, cfgk, build_matrix, const, jv_hi, jv_lo,
+            n, nd_, nq_, layout, cfgk, build_matrix, const, jv_hi, jv_lo,
             dtinv, lanes, act_mask)
 
     def xrow(r):
@@ -465,7 +583,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
         v = _df_mul(*_df_mul(*d, *dtinv), *half)
         worst = _df_max(worst, v)
 
-    if nd_ == 0:
+    if nd_ == 0 and nq_ == 0:
         hi_rows = [x_hi[r] for r in range(n)] + [worst[0]]
         lo_rows = [x_lo[r] for r in range(n)] + [worst[1]]
     else:
@@ -546,6 +664,7 @@ def _layout(cc):
     nv_ = cc.kind_count("V") if "V" in cc.idx else 0
     ni_ = cc.kind_count("I") if "I" in cc.idx else 0
     nd_ = cc.kind_count("D") if "D" in cc.idx else 0
+    nq_ = cc.kind_count("Q") if "Q" in cc.idx else 0
     L = {"g": 0, "cadj": nr_, "craw": nr_ + nc_, "lval": nr_ + 2 * nc_,
          "linv": nr_ + 2 * nc_ + nl_}
     base_d = nr_ + 2 * nc_ + 2 * nl_
@@ -556,7 +675,22 @@ def _layout(cc):
                                "d_tt", "d_vte", "d_invvte", "d_vcrit",
                                "d_pq")):
         L[key] = base_d + off * nd_
-    n_const = base_d + 9 * nd_
+    base_q = base_d + 9 * nd_
+    # per-BJT attempt-invariant rows for the Ebers-Moll eval (models/bjt.py
+    # currents), per-junction pnjlim at NOMINAL temperature (nlstate.py:64-67)
+    # and the cold-start guess (bjt.go:110-120); inv_* rows are 0 when the
+    # corresponding Vaf/Var/Ikf/Ikr knob is disabled (<= 0)
+    for off, key in enumerate((
+            "q_invnfvt", "q_invnrvt", "q_sies", "q_sics",
+            "q_invvaf", "q_invvar", "q_invikf", "q_invikr",
+            "q_alphaf", "q_sign",
+            "q_vtef", "q_invvtef", "q_vcritf",
+            "q_vter", "q_invvter", "q_vcritr",
+            "q_vbe0", "q_vbc0")):
+        L[key] = base_q + off * nq_
+    n_const = base_q + 18 * nq_
+    # jv stack rows: diode vd, then BJT vbe, then BJT vbc
+    L.update({"jv_d": 0, "jv_qbe": nd_, "jv_qbc": nd_ + nq_})
     # state stack rows (same layout for input and commit-candidate output)
     L.update({"c_q0": 0, "c_q1": nc_, "c_v0": 2 * nc_, "c_v1": 3 * nc_,
               "l_i0": 4 * nc_, "l_i1": 4 * nc_ + nl_, "l_v0": 4 * nc_ + 2 * nl_,
@@ -568,7 +702,9 @@ def _layout(cc):
                     if nl_ else [])
     L["d_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["D"]["nodes"])]
                     if nd_ else [])
-    return (nr_, nc_, nl_, nv_, ni_, nd_), L, n_const, n_state
+    L["q_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["Q"]["nodes"])]
+                    if nq_ else [])
+    return (nr_, nc_, nl_, nv_, ni_, nd_, nq_), L, n_const, n_state
 
 
 def _hi_lo(x64):
@@ -602,11 +738,13 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
     from ..engine.op import make_op
     from ..engine.tran import TranOutput
     from ..models.sources import eval_sources_lanes
+    from ..models import bjt as bjt_model
     from ..models import diode as diode_model
     from ..models.limiter import vcrit as vcrit_fn
 
     counts, layout, n_const, n_state = _layout(cc)
-    nr_, nc_, nl_, nv_, ni_, nd_ = counts
+    nr_, nc_, nl_, nv_, ni_, nd_, nq_ = counts
+    nonlin = bool(nd_ or nq_)
     n = cc.np1
     cells, rhs_cells = _build_plan(cc)
     cells = {k: tuple(v) for k, v in cells.items()}
@@ -619,8 +757,8 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
     kernel = functools.partial(
         _fused_kernel, n, counts, layout, cells, rhs_cells, cfgk,
         os.environ.get("TOYSPICE_TRAN_KERNEL_BUILD") == "dus")
-    extra = 2 if nd_ else 0  # xlte rows: NR iteration count + converged flag
-    op_execute = make_op(cc, opts)[0] if nd_ else None
+    extra = 2 if nonlin else 0  # xlte rows: NR iter count + converged flag
+    op_execute = make_op(cc, opts)[0] if nonlin else None
     # lanes per grid block (rounded up to a multiple of 1024 = 8 sublanes x
     # 128 lanes); measured on v5e at the 8192-way benchmark: 1024 -> 285.6M
     # steps/s, 2048 -> 264M, 4096 -> 243M, 8192 -> 223M.  The general solve
@@ -695,15 +833,41 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             rows.extend([1.0 / nvt, -3.0 * nvt, is_t, pdl["gmin"], pdl["tt"],
                          vte_lim, 1.0 / vte_lim,
                          vcrit_fn(vte_lim, pdl["is_"]), pq0])
+        if nq_:
+            pql = {k: _lanes(params["Q"][k], nq_, bp)
+                   for k in ("sign", "ies", "ics", "nf", "nr", "alphaf",
+                             "vaf", "var", "ikf", "ikr")}
+            vtq = bjt_model.thermal_voltage(jnp.float64(temp))
+            vt_nom = BOLTZMANN * TEMP_DEFAULT / CHARGE
+            vte_f = pql["nf"] * vt_nom  # limiter at nominal T (nlstate.py)
+            vte_r = pql["nr"] * vt_nom
+            # cold start (bjt.go:110-120): vbe0 = Nf·Vt·ln(1e-3/Ies),
+            # vce0 = max(2, vbe0+1), vbc0 = vbe0 − vce0
+            vbe0 = pql["nf"] * vtq * jnp.log(1e-3 / pql["ies"])
+            vbc0 = vbe0 - jnp.maximum(2.0, vbe0 + 1.0)
+
+            def inv_or0(v):
+                return jnp.where(v > 0, 1.0 / v, jnp.zeros_like(v))
+
+            rows.extend([
+                1.0 / (pql["nf"] * vtq), 1.0 / (pql["nr"] * vtq),
+                pql["sign"] * pql["ies"], pql["sign"] * pql["ics"],
+                inv_or0(pql["vaf"]), inv_or0(pql["var"]),
+                inv_or0(pql["ikf"]), inv_or0(pql["ikr"]),
+                pql["alphaf"], pql["sign"],
+                vte_f, 1.0 / vte_f, vcrit_fn(vte_f, pql["ies"]),
+                vte_r, 1.0 / vte_r, vcrit_fn(vte_r, pql["ics"]),
+                vbe0, vbc0,
+            ])
         const64 = (jnp.concatenate(rows, axis=0) if rows
                    else jnp.zeros((1, bp), dtype=jnp.float64))
         const_hi, const_lo = _hi_lo(const64)
 
         # ---- junction-voltage warm start: the OP bias point (tran.go:57-75)
         # through the general XLA engine, rescue ladders included ----
-        if nd_:
+        if nonlin:
             if cfg.uic:
-                jv64 = jnp.zeros((nd_, bp), dtype=jnp.float64)
+                jv64 = jnp.zeros((nd_ + 2 * nq_, bp), dtype=jnp.float64)
             else:
                 paxes = {kind: {k: (0 if (k not in ("pwl_t", "pwl_v")
                                           and jnp.asarray(v).ndim == 2)
@@ -721,7 +885,13 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                         params, state0)
                 else:
                     opr = op_execute(params, state0)
-                jv64 = _lanes(opr.jv["D"]["vd"], nd_, bp)
+                jrows = []
+                if nd_:
+                    jrows.append(_lanes(opr.jv["D"]["vd"], nd_, bp))
+                if nq_:
+                    jrows.append(_lanes(opr.jv["Q"]["vbe"], nq_, bp))
+                    jrows.append(_lanes(opr.jv["Q"]["vbc"], nq_, bp))
+                jv64 = jnp.concatenate(jrows, axis=0)
             jvh0, jvl0 = _hi_lo(jv64)
         else:
             jvh0 = jnp.zeros((1, bp), dtype=jnp.float32)
@@ -848,7 +1018,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             if ni_:
                 drows.append(eval_sources_lanes(
                     cc.idx["I"]["stype"], pi, t, bp))
-            if nd_:
+            if nonlin:
                 # active-lane mask for the in-kernel Newton loop (inactive
                 # lanes skip NR entirely instead of spinning to max_iter)
                 drows.append(active.astype(f64)[None, :])
@@ -860,7 +1030,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             xlte_lo = xlte_lo.reshape(n + 1 + extra, bp)
 
             lte = (xlte_hi[n].astype(f64) + xlte_lo[n].astype(f64))
-            if nd_:
+            if nonlin:
                 # NR convergence verdict and iteration count from the kernel
                 nr_ok = xlte_hi[n + 2] > 0.5
                 nr_it = xlte_hi[n + 1].astype(jnp.int32)
@@ -939,15 +1109,26 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 "flux0": grab(layout["l_flux0"], nl_),
                 "hist": jnp.where(started, 1.0, hist0),
             }
-        if nd_:
-            # compat: diode transient state is never committed (PLAN.md 1) —
-            # pass state0 through, broadcast to the batch like the general
-            # engine's vmapped tree_map does
-            state["D"] = {k: _lanes(state0["D"][k], nd_, bp)[:, :b].T
-                          for k in state0["D"]}
+        if nonlin:
+            # compat: diode/BJT transient state is never committed (PLAN.md
+            # 1) — pass state0 through, broadcast to the batch like the
+            # general engine's vmapped tree_map does
+            for kind, nk in (("D", nd_), ("Q", nq_)):
+                if nk and kind in state0:
+                    state[kind] = {k: _lanes(state0[kind][k], nk, bp)[:, :b].T
+                                   for k in state0[kind]}
             jvf = (c["jv_hi"].astype(f64)
                    + c["jv_lo"].astype(f64)).reshape(kj, bp)[:, :b]
-            jv_out = {"D": {"vd": jnp.transpose(jvf, (1, 0))}}
+            jv_out = {}
+            if nd_:
+                o = layout["jv_d"]
+                jv_out["D"] = {"vd": jnp.transpose(jvf[o:o + nd_], (1, 0))}
+            if nq_:
+                ob, oc = layout["jv_qbe"], layout["jv_qbc"]
+                vbe = jnp.transpose(jvf[ob:ob + nq_], (1, 0))
+                vbc = jnp.transpose(jvf[oc:oc + nq_], (1, 0))
+                # vce = vbe − vbc always holds on exit (nlstate.py:70)
+                jv_out["Q"] = {"vbe": vbe, "vbc": vbc, "vce": vbe - vbc}
         else:
             jv_out = {}
 

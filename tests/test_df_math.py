@@ -5,7 +5,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from toyspice_tpu.ops.df_math import df_div, df_exp, df_log
+from toyspice_tpu.ops.df_math import df_div, df_exp, df_log, df_pow, df_sqrt
 
 
 def _to_df(x64):
@@ -62,6 +62,41 @@ def test_df_log_sweep():
     big = x >= 1e-27
     assert np.max(err[big]) < 2e-13, float(np.max(err[big]))
     assert np.max(err[~big]) < 1e-8, float(np.max(err[~big]))
+
+
+def test_df_sqrt_sweep():
+    rng = np.random.default_rng(3)
+    x = np.concatenate([
+        np.exp(rng.uniform(-60.0, 60.0, 20000)),
+        rng.uniform(0.0, 4.0, 5000),
+        np.asarray([0.0, 1.0, 2.0, 0.25, 1e-30, 1e30]),
+    ])
+    got = _from_df(*df_sqrt(*_to_df(x)))
+    ref = np.sqrt(x)
+    rel = np.abs(got - ref) / np.maximum(ref, 1e-300)
+    assert got[x == 0.0] == 0.0
+    pos = x > 1e-27  # below that the input pair itself is hi-only
+    assert np.max(rel[pos]) < 2e-13, float(np.max(rel[pos]))
+
+
+def test_df_sqrt_negative_is_zero():
+    x = np.asarray([-1.0, -1e-10, -1e10])
+    got = _from_df(*df_sqrt(*_to_df(x)))
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_df_pow_sweep():
+    rng = np.random.default_rng(4)
+    # MOSFET ranges: junction caps pow(1-v/pb, mj) with mj ~ 0.3-0.5 and
+    # base in [1e-30, ~100]; mobility pow(eeff/ucrit, uexp), uexp ~ 0-2
+    x = np.exp(rng.uniform(-60.0, 10.0, 20000))
+    y = rng.uniform(0.0, 2.0, 20000)
+    got = _from_df(*df_pow(*_to_df(x), *_to_df(y)))
+    ref = np.power(x, y)
+    rel = np.abs(got - ref) / np.maximum(ref, 1e-300)
+    ok = ref >= 1e-26  # result above the pair's representable floor
+    # rel error ~ eps_df * |y*log x| (<= 120 in this sweep -> ~1e-12)
+    assert np.max(rel[ok]) < 2e-12, float(np.max(rel[ok]))
 
 
 def test_df_div_sweep():

@@ -185,7 +185,11 @@ def test_fused_eligibility_gates():
     mcc = compile_circuit(parse(
         "* m\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nM1 2 1 0 0 MX\n"
         ".model MX NMOS (Vto=1)\n"))
-    assert not fused_eligible(mcc, "compat", "none", opts)
+    assert fused_eligible(mcc, "compat", "none", opts)  # in-kernel Newton
+    lmcc = compile_circuit(parse(
+        "* lm\n.tran 0.1m 1m\nV1 1 0 SIN(0 1 1k)\nL1 1 2 core=CX turns=50\n"
+        "R1 2 0 10\n.model CX CORE (Ms=1.6meg)\n"))
+    assert not fused_eligible(lmcc, "compat", "none", opts)
 
 
 # ---- diode decks: in-kernel Newton loop (pnjlim + df exp/log) ----
@@ -254,8 +258,10 @@ def _compare_nl(deck, overrides=None, opts=_NL_OPTS, impl="xla"):
     # numerically differenced Jacobian (models/bjt.py) amplifies df noise on
     # the finite differences (~1e-10 rel) into a shifted Newton stopping
     # point within the convergence tolerance, and the perturbed solution
-    # vector carries that to all devices sharing the system.
-    rtol, atol = (1e-6, 1e-8) if "Q" in og.jv else (1e-9, 1e-11)
+    # vector carries that to all devices sharing the system.  MOSFETs get
+    # the same loose bound (numeric-diff L2/3; df sqrt/pow in the L1 path).
+    loose = ("Q" in og.jv) or ("M" in og.jv)
+    rtol, atol = (1e-6, 1e-8) if loose else (1e-9, 1e-11)
     for kind in og.jv:
         for key in og.jv[kind]:
             jg = np.asarray(og.jv[kind][key])
@@ -322,6 +328,71 @@ R2 4 0 10k
 """
     og, of = _compare_nl(deck)
     assert "D" in og.jv and "Q" in og.jv
+
+
+# ---- MOSFET decks: levels 1-3 + Meyer caps in-kernel ----
+
+M_INV = """* NMOS inverter (reference mosfet1.cir topology, coarser)
+.tran 0.5u 10u
+VDD 1 0 DC 5
+VG 2 0 PULSE(0 5 1u 100n 100n 5u 10u)
+RD 1 3 10k
+M1 3 2 0 0 NMOS_Test L=2u W=20u
+.model NMOS_Test NMOS(Level=1 VTO=0.7 KP=20u LAMBDA=0.01)
+"""
+
+M_PMOS_L3 = """* PMOS level 3: sign flips + numeric-diff Jacobian in-kernel
+.tran 1u 20u
+VDD 1 0 DC -5
+VG 2 0 SIN(-2.5 2 100k)
+RD 1 3 20k
+M1 3 2 0 0 PM L=3u W=30u
+.model PM PMOS(Level=3 VTO=-0.8 KP=15u THETA=0.1 KAPPA=0.3)
+"""
+
+M_L2_CAPS = """* level 2 mobility degradation + junction caps (cj path)
+.tran 1u 20u
+VDD 1 0 DC 5
+VG 2 0 PULSE(0 4 2u 0.5u 0.5u 8u 16u)
+RD 1 3 15k
+RS 4 0 1k
+M1 3 2 4 0 NM L=2u W=10u
+.model NM NMOS(Level=2 VTO=0.6 UCRIT=1e4 UEXP=0.1 VMAX=5e4
++ CJ=1e-4 CJSW=1e-10 PB=0.9 MJ=0.4)
+"""
+
+
+def test_fused_mosfet_level1():
+    og, of = _compare_nl(M_INV)
+    assert "M" in og.jv
+    assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
+
+
+def test_fused_mosfet_pmos_level3():
+    _compare_nl(M_PMOS_L3)
+
+
+def test_fused_mosfet_level2_junction_caps():
+    """Source degeneration makes vbs < 0 at times, exercising the reverse
+    junction-cap df_pow branch; UCRIT/UEXP/VMAX exercise the level-2
+    mobility path."""
+    _compare_nl(M_L2_CAPS)
+
+
+def test_fused_mosfet_diode_mixed():
+    deck = """* MOSFET + diode sharing a system
+.tran 1u 20u
+VDD 1 0 DC 5
+VG 2 0 SIN(2.5 2 100k)
+RD 1 3 10k
+M1 3 2 0 0 NM L=2u W=20u
+D1 3 4 DM
+R2 4 0 20k
+.model NM NMOS(VTO=0.7 KP=20u)
+.model DM D(Is=1e-14)
+"""
+    og, of = _compare_nl(deck)
+    assert "D" in og.jv and "M" in og.jv
 
 
 D_SMOKE = """* diode interpret smoke: ~4 attempts

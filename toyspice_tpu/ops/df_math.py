@@ -126,3 +126,30 @@ def df_div(ahi, alo, bhi, blo):
     """a / b in df: reciprocal + one refinement via _df_recip, then multiply."""
     r_hi, r_lo = _df_recip(bhi, blo)
     return _df_mul(ahi, alo, r_hi, r_lo)
+
+
+def df_sqrt(xhi, xlo):
+    """sqrt of a non-negative df pair, elementwise; x <= 0 returns 0.
+
+    f32 seed + one Newton step carried in df: y = y0 + (x - y0^2)/(2*y0).
+    The residual r = x - y0^2 is exact (two_prod), and the correction is
+    ~6e-8 of y, so evaluating it in plain f32 leaves ~6e-15 rel error."""
+    f32 = jnp.float32
+    pos = xhi > 0
+    xs = jnp.maximum(xhi, f32(1e-38))
+    y0 = _exact(jnp.sqrt(xs))
+    y2_hi, y2_lo = _two_prod(y0, y0)
+    r_hi, r_lo = _df_add(xs, jnp.where(pos, xlo, jnp.zeros_like(xlo)),
+                         -y2_hi, -y2_lo)
+    corr = (r_hi + r_lo) * (f32(0.5) / y0)
+    s_hi, s_lo = _quick_two_sum(y0, corr)
+    zero = jnp.zeros_like(xhi)
+    return (jnp.where(pos, s_hi, zero), jnp.where(pos, s_lo, zero))
+
+
+def df_pow(xhi, xlo, yhi, ylo):
+    """x**y for positive df x: exp(y * log(x)).  Relative error grows with
+    |y*log(x)| (~1e-14 * |y*log x|); the MOSFET junction-cap and mobility
+    exponents keep |y*log x| < ~100."""
+    l_hi, l_lo = df_log(xhi, xlo)
+    return df_exp(*_df_mul(yhi, ylo, l_hi, l_lo))

@@ -20,6 +20,7 @@ structurally singular system returns a non-finite solution (Newton callers
 treat that as non-converged).
 """
 
+import contextlib
 import functools
 
 import numpy as np
@@ -29,27 +30,75 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# f32 Dekker split constant: 2^12 + 1
-_SPLIT = 4097.0
+# --- compiler-opaqueness for the error-free transforms -----------------
+#
+# The df algebra below is only correct if every marked sum/product is the
+# IEEE-ROUNDED f32 value.  Two compiler behaviors break that (both proven
+# on this toolchain by simulating the optimized HLO in strict per-op IEEE
+# f32 — correct — vs executing it — corrupted lo limbs):
+#
+#  1. XLA's HLO algebraic simplifier rewrites ``(x + c) - c -> x`` for f32,
+#     deleting the rounding that _two_sum exists to measure.
+#  2. XLA:CPU fusion codegen (LLVM) contracts ``a*b`` into a consuming
+#     add/sub as fma, skipping the product rounding that _two_prod
+#     measures.  A plain bitcast round-trip does NOT help: it is an
+#     identity, and the HLO simplifier strips it before codegen.
+#
+# `_pin(x)` defeats both by routing the value through the integer domain
+# with a zero the compiler cannot prove to be zero (``min(|x|,1) * 0``:
+# float mul-by-zero is not foldable without fast-math because the other
+# operand could be NaN).  The min-abs keeps the derived zero actually zero
+# for ALL x including ±inf, and for NaN x the pin output stays non-finite,
+# preserving the zero-pivot poisoning contract.
+#
+# Inside Mosaic (real-TPU Pallas kernels) the pin is disabled: Mosaic
+# lowers each jaxpr op separately and performs neither rewrite (validated
+# by the on-TPU A/B over the full fixture matrix, PARITY.md), and the pin
+# would cost ~30% extra VPU ops in the hottest kernels.  Kernel bodies are
+# traced under `unpinned_trace()`; every XLA-traced use (the fused-tran
+# XLA impl, CPU tests) keeps the default pinned mode.
+
+_PIN_DF = True
 
 
-def _exact(x):
-    """Pin a product's IEEE rounding: int32 bitcast round-trip.
+@contextlib.contextmanager
+def unpinned_trace():
+    """Disable _pin while tracing a Mosaic kernel body (see note above)."""
+    global _PIN_DF
+    prev = _PIN_DF
+    _PIN_DF = False
+    try:
+        yield
+    finally:
+        _PIN_DF = prev
 
-    The error-free transforms below rely on every `a*b` being ROUNDED before
-    it feeds a subsequent add/sub.  Compilers (XLA CPU under the TPU
-    interpreter; potentially Mosaic) may contract `a*b + c` into fma, which
-    skips that rounding and silently breaks the invariant — observed as df
-    pairs off by one ulp of the hi limb (2^-23 relative, f32-class error) on
-    knife-edge lanes.  A bitwise round-trip is contraction-proof and lowers
-    to a move (or nothing) on both backends."""
+
+def _pin(x):
+    """Pin x's IEEE rounding against compiler rewrites (see note above)."""
+    if not _PIN_DF:
+        return x
+    zf = jnp.minimum(jnp.abs(x), jnp.float32(1.0)) * jnp.float32(0.0)
+    zi = jax.lax.bitcast_convert_type(zf, jnp.int32)
     return jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(x, jnp.int32), jnp.float32)
+        jax.lax.bitcast_convert_type(x, jnp.int32) + zi, jnp.float32)
+
+
+# Alias kept for df_math's transcendental seeds; same protection.
+_exact = _pin
+
+
+def _unpinned(fn):
+    """Decorator: trace a Mosaic kernel body with _pin disabled."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with unpinned_trace():
+            return fn(*args, **kwargs)
+    return wrapper
 
 
 def _two_sum(a, b):
     """Error-free a + b -> (s, err)."""
-    s = a + b
+    s = _pin(a + b)
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
@@ -57,23 +106,46 @@ def _two_sum(a, b):
 
 def _quick_two_sum(a, b):
     """Error-free a + b assuming |a| >= |b|."""
-    s = a + b
+    s = _pin(a + b)
     err = b - (s - a)
     return s, err
 
 
 def _split(a):
-    t = _exact(a * _SPLIT)
-    hi = t - (t - a)
+    """Split a into hi (top 12 significand bits) + lo (bottom 12), exactly.
+
+    Bitmask split instead of the classical Dekker `t = a*4097; hi = t-(t-a)`:
+    XLA CPU's LLVM backend contracts the Dekker multiply into the subsequent
+    subtract (fma), which silently breaks the split — measured as f32-class
+    (2^-24 rel) noise on df results inside large jitted fusions, while the
+    same optimized HLO simulated with strict per-op IEEE f32 rounding is
+    correct.  Masking the low 12 mantissa bits has no multiply to contract,
+    `a - hi` is exact (hi agrees with a's top bits), and both halves carry
+    <= 12 significant bits so every product of halves in `_two_prod` is
+    exactly representable in f32 — making the transform immune to fma
+    contraction on every backend (XLA CPU, Mosaic) by construction.
+
+    The mask rounds (adds the bit-11 carry before masking) rather than
+    truncates: the rounded split leaves lo with 11 bits + sign, which is
+    what Dekker's exactness theorem for the two_prod error sequence
+    requires; a truncating mask (12-bit lo) loses it and the error term
+    rounds at ~2^-34 relative.  A mantissa carry into the exponent is the
+    correct round-up to the next binade."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        (bits + jnp.int32(2048)) & jnp.int32(-4096), jnp.float32)
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    """Error-free a * b -> (p, err) via Dekker splitting (no hardware FMA)."""
-    p = _exact(a * b)
+    """Error-free a * b -> (p, err) via exact bitmask splitting (no fma).
+
+    Only p needs pinning: every product of split halves is exactly
+    representable, so contracting one into an add/sub changes nothing."""
+    p = _pin(a * b)
     ahi, alo = _split(a)
     bhi, blo = _split(b)
-    err = ((_exact(ahi * bhi) - p) + ahi * blo + alo * bhi) + alo * blo
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
     return p, err
 
 
@@ -159,6 +231,7 @@ def _gj_eliminate(n, m_hi, m_lo):
     return x_hi, x_lo
 
 
+@_unpinned
 def _gj_kernel(n, ahi_ref, alo_ref, bhi_ref, blo_ref, xhi_ref, xlo_ref):
     # augmented working matrix (n, n+1, *lanes) as a hi/lo pair of values
     m_hi = jnp.concatenate([ahi_ref[...], bhi_ref[...][:, None]], axis=1)
@@ -260,6 +333,7 @@ def _cell_groups(n, rows, cols, rrows):
     return mat, rhs
 
 
+@_unpinned
 def _build_solve_kernel(n, mat_cells, rhs_cells,
                         vhi_ref, vlo_ref, rhi_ref, rlo_ref,
                         ghi_ref, glo_ref, xhi_ref, xlo_ref):

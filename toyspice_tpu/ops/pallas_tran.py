@@ -46,6 +46,17 @@ per-junction pnjlim limiting of vbe/vbc and the reference cold-start guess
 Transient BJT stamping is DC-only, matching the reference where
 StampTransient is dead code (PLAN.md 1), and Q state (qbe/qbc) is never
 committed — passthrough like the diode state.
+
+MOSFET decks fuse too: levels 1-3 (mosfet.go:358-459 with the reference's
+unit quirks verbatim), body-effect threshold, analytic level-1 /
+numerically-differenced level-2/3 conductances (mosfet.go:505-532), Meyer
+capacitances and the five charge currents with compat-frozen previous
+charges — all inside the Newton while_loop, the level selected STATICALLY
+per device (it is circuit metadata, not a parameter).  Terminal voltages
+carry without junction limiting, exactly like the general engine
+(engine/nlstate.py:73-85); the cold-start bias guess (mosfet.go:678-690)
+applies to the eval voltages only.  Power/sqrt run on the double-float
+df_pow/df_sqrt of ops/df_math.py.
 """
 
 import functools
@@ -58,18 +69,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solve import _df_add, _df_mul, _df_recip, _gj_eliminate
-from .df_math import df_div, df_exp, df_log
+from .pallas_solve import (_df_add, _df_mul, _df_recip, _gj_eliminate,
+                           _unpinned)
+from .df_math import df_div, df_exp, df_log, df_pow, df_sqrt
 from ..consts import BOLTZMANN, CHARGE, TEMP_DEFAULT
 
-FUSED_KINDS = {"R", "C", "L", "V", "I", "D", "Q"}
+FUSED_KINDS = {"R", "C", "L", "V", "I", "D", "Q", "M"}
 
 
 def fused_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
-    """The fused path covers: R/C/L/V/I plus diodes and BJTs (in-kernel
-    Newton), compat semantics, backward Euler, store='none', solver knobs
-    that affect the in-kernel math only through scalars baked at trace time
-    (temp, reltol/abstol/max_iter are supported)."""
+    """The fused path covers: R/C/L/V/I plus diodes, BJTs and MOSFETs
+    (in-kernel Newton), compat semantics, backward Euler, store='none',
+    solver knobs that affect the in-kernel math only through scalars baked
+    at trace time (temp, reltol/abstol/max_iter are supported)."""
     if semantics != "compat" or store != "none":
         return False
     if opts.integration != "be":
@@ -202,7 +214,7 @@ def _pnjlim_df(vnew, vold, vte, invvte, vcr, lanes):
     return _df_where(limit, limited, vnew)
 
 
-def _newton_in_kernel(n, nd_, nq_, layout, cfgk, build_matrix, const,
+def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                       jv_hi, jv_lo, dtinv, lanes, act_mask):
     """The transient Newton loop (engine/newton.py warm-start flavor) inside
     the attempt, per-lane.  Mirrors the vmapped ``lax.while_loop`` semantics
@@ -216,7 +228,7 @@ def _newton_in_kernel(n, nd_, nq_, layout, cfgk, build_matrix, const,
     f32 = jnp.float32
     reltol, abstol, max_iter = cfgk
     L = layout
-    kj = nd_ + 2 * nq_
+    kj = nd_ + 2 * nq_ + 3 * nm_
     zero = jnp.zeros(lanes, dtype=f32)
     one_df = (jnp.ones(lanes, dtype=f32), zero)
     rel_c = _df_const(reltol, lanes)
@@ -240,6 +252,179 @@ def _newton_in_kernel(n, nd_, nq_, layout, cfgk, build_matrix, const,
                         "q_vtef", "q_invvtef", "q_vcritf",
                         "q_vter", "q_invvter", "q_vcritr",
                         "q_vbe0", "q_vbc0")}
+
+    mrow = {key: [const(L[key] + k) for k in range(nm_)]
+            for key in ("m_sign", "m_vto", "m_gamma", "m_phi", "m_sqrtphi",
+                        "m_beta1", "m_lam",
+                        "m_e2u", "m_uexp", "m_b2u", "m_vmlu", "m_uopos",
+                        "m_vmax", "m_theta", "m_kappa", "m_beta3",
+                        "m_cgate", "m_cgso", "m_cgdo", "m_cgbo",
+                        "m_cbs", "m_cbd", "m_invpb", "m_mj",
+                        "m_pqgs", "m_pqgd", "m_pqgb", "m_pqbs", "m_pqbd")}
+    if nm_:
+        c_half = _df_const(0.5, lanes)
+        c_gmin = _df_const(1e-12, lanes)  # model _GMIN floor (mosfet.go)
+        c_mdelta = _df_const(1e-6, lanes)  # models/mosfet.py _DELTA
+        c_minv = _df_const(1e6, lanes)  # 1/_DELTA
+
+    def m_vth(km, vbs):
+        """Body-effect threshold in the type-positive frame (models/mosfet.py
+        _vth; mosfet.go:296-318).  df_sqrt returns 0 for non-positive args,
+        matching the max(0, phi - vbs) guard."""
+        s = df_sqrt(*_df_add(*mrow["m_phi"][km], *_df_neg(vbs)))
+        vth = _df_add(*mrow["m_vto"][km], *_df_mul(
+            *mrow["m_gamma"][km],
+            *_df_add(*s, *_df_neg(mrow["m_sqrtphi"][km]))))
+        return _df_where(mrow["m_gamma"][km][0] > 0, vth, mrow["m_vto"][km])
+
+    def m_ids_pos(km, lv, vgs, vds, vbs):
+        """Drain current, type-positive frame, STATIC level lv — mirrors
+        models/mosfet.py _ids_pos with the reference's unit quirks.
+        Returns (id, is_lin, cutoff); is_lin is the pre-cutoff region."""
+        vth = m_vth(km, vbs)
+        vgst = _df_add(*vgs, *_df_neg(vth))
+        fac = _df_add(*one_df, *_df_mul(*mrow["m_lam"][km], *vds))
+        t_lin = _df_add(*_df_mul(*vgst, *vds),
+                        *_df_neg(_df_mul(*_df_mul(*c_half, *vds), *vds)))
+        if lv == 2:
+            # mobility degradation + VMAX saturation voltage
+            # (mosfet.go:378-418); see _layout for the precombined rows
+            ratio = _df_mul(*vgst, *mrow["m_e2u"][km])
+            cond = (mrow["m_e2u"][km][0] > 0) & (vgst[0] > 0)
+            # floor 1e-37 (f32 normal range) vs the reference's 1e-300:
+            # differs only when vgst is within ~1e-31 of the threshold
+            flo = _df_const(1e-37, lanes)
+            pw = df_pow(*_df_max(ratio, flo), *mrow["m_uexp"][km])
+            denom = _df_where(cond, _df_add(*one_df, *pw), one_df)
+            beta = df_div(*mrow["m_b2u"][km], *denom)
+            lim = _df_mul(*mrow["m_vmlu"][km],
+                          *_df_where(mrow["m_uopos"][km][0] > 0,
+                                     denom, one_df))
+            vdsat = _df_where(mrow["m_vmax"][km][0] > 0,
+                              _df_where(_df_gt(vgst, lim), lim, vgst), vgst)
+            lin = _df_mul(*_df_mul(*beta, *t_lin), *fac)
+        elif lv == 3:
+            # semi-empirical THETA/KAPPA (mosfet.go:421-459)
+            th = mrow["m_theta"][km]
+            ve = df_div(*vgst, *_df_add(*one_df, *_df_mul(*th, *vgst)))
+            vgst_eff = _df_where(th[0] > 0, ve, vgst)
+            k1 = _df_add(*one_df, *_df_mul(*mrow["m_kappa"][km], *vgst_eff))
+            flo = _df_const(1e-30, lanes)
+            vd3 = df_div(*vgst_eff, *df_sqrt(*_df_max(k1, flo)))
+            vdsat = _df_where(mrow["m_kappa"][km][0] > 0, vd3, vgst_eff)
+            beta = mrow["m_beta3"][km]
+            hv2 = _df_mul(*_df_mul(*c_half, *vds), *vds)
+            t3 = _df_add(*_df_mul(*vgst_eff, *vds), *_df_neg(df_div(*hv2, *k1)))
+            lin = _df_mul(*_df_mul(*beta, *t3), *fac)
+        else:
+            # level 1 Shockley quadratic (mosfet.go:358-375)
+            beta = mrow["m_beta1"][km]
+            vdsat = vgst
+            lin = _df_mul(*_df_mul(*beta, *t_lin), *fac)
+        sat = _df_mul(*_df_mul(*_df_mul(*c_half, *beta),
+                               *_df_mul(*vdsat, *vdsat)), *fac)
+        is_lin = _df_gt(vdsat, vds)  # vds < vdsat
+        idl = _df_where(is_lin, lin, sat)
+        cutoff = ~_df_gt(vgst, (zero, zero))  # raw vgst, all levels
+        return _df_where(cutoff, (zero, zero), idl), is_lin, cutoff
+
+    def m_dc_eval(km, lv, vgs, vds, vbs):
+        """models/mosfet.py dc_eval at static level: current, conductances
+        (analytic L1 / numeric-diff L2-3, mosfet.go:505-532) and Meyer caps.
+        Values the cut mask overrides are unselected, never NaN-poisoned:
+        _df_where discards both limbs."""
+        sgn = mrow["m_sign"][km]
+        id_pos, is_lin, cut = m_ids_pos(km, lv, vgs, vds, vbs)
+        id_ = _df_mul(*sgn, *id_pos)
+
+        if lv == 1:
+            vth = m_vth(km, vbs)
+            vgst = _df_add(*vgs, *_df_neg(vth))
+            beta1 = mrow["m_beta1"][km]
+            lam = mrow["m_lam"][km]
+            fac = _df_add(*one_df, *_df_mul(*lam, *vds))
+            gm = _df_where(is_lin & ~cut,
+                           _df_mul(*_df_mul(*beta1, *vds), *fac),
+                           _df_mul(*_df_mul(*beta1, *vgst), *fac))
+            t_lin = _df_add(*_df_mul(*vgst, *vds),
+                            *_df_neg(_df_mul(*_df_mul(*c_half, *vds), *vds)))
+            gds_l = _df_add(
+                *_df_mul(*_df_mul(*beta1,
+                                  *_df_add(*vgst, *_df_neg(vds))), *fac),
+                *_df_mul(*_df_mul(*beta1, *lam), *t_lin))
+            gds_s = _df_mul(*_df_mul(*_df_mul(*c_half, *beta1),
+                                     *_df_mul(*vgst, *vgst)), *lam)
+            gds = _df_where(is_lin & ~cut, gds_l, gds_s)
+            # gmbs from the current gm (documented deviation, models/mosfet.py)
+            flo = _df_const(1e-30, lanes)
+            den = df_sqrt(*_df_max(
+                _df_add(*mrow["m_phi"][km], *_df_neg(vbs)), flo))
+            gmbs_v = df_div(*_df_mul(*gm, *mrow["m_gamma"][km]),
+                            *_df_add(*den, *den))
+            gmbs_on = ((mrow["m_gamma"][km][0] > 0)
+                       & (mrow["m_phi"][km][0] > 0)
+                       & _df_gt((zero, zero), vbs))
+            gmbs = _df_where(gmbs_on, gmbs_v, c_gmin)
+        else:
+            # numeric differencing, delta applied in the flipped frame
+            d = _df_mul(*sgn, *c_mdelta)
+            idg, _, _ = m_ids_pos(km, lv, _df_add(*vgs, *d), vds, vbs)
+            idd, _, _ = m_ids_pos(km, lv, vgs, _df_add(*vds, *d), vbs)
+            idb, _, _ = m_ids_pos(km, lv, vgs, vds, _df_add(*vbs, *d))
+
+            def gfd(idp):
+                diff = _df_add(*_df_mul(*sgn, *idp), *_df_neg(id_))
+                return _df_max(_df_mul(*diff, *c_minv), c_gmin)
+
+            gm, gds, gmbs = gfd(idg), gfd(idd), gfd(idb)
+
+        gm = _df_where(cut, c_gmin, gm)
+        gds = _df_where(cut, c_gmin, gds)
+        gmbs = _df_where(cut, c_gmin, gmbs)
+        # PMOS sign (mosfet.go:534-537): gm and gmbs flip, gds does not
+        gm = _df_mul(*gm, *sgn)
+        gmbs = _df_mul(*gmbs, *sgn)
+
+        # Meyer capacitances by region (mosfet.go:540-594)
+        cgate = mrow["m_cgate"][km]
+        cgso = mrow["m_cgso"][km]
+        cgdo = mrow["m_cgdo"][km]
+        cgbo = mrow["m_cgbo"][km]
+        half_g = _df_mul(*c_half, *cgate)
+        two3_g = _df_mul(*_df_const(2.0 / 3.0, lanes), *cgate)
+        thr_g = _df_mul(*_df_const(1.0 / 3.0, lanes), *cgate)
+        cgs = _df_where(cut, cgso,
+                        _df_where(is_lin, _df_add(*half_g, *cgso),
+                                  _df_add(*two3_g, *cgso)))
+        cgd = _df_where(cut, cgdo,
+                        _df_where(is_lin, _df_add(*half_g, *cgdo), cgdo))
+        cgb = _df_where(cut, two3_g,
+                        _df_where(is_lin, cgbo, _df_add(*cgbo, *thr_g)))
+        return id_, gm, gds, gmbs, cgs, cgd, cgb, cut, is_lin
+
+    def m_charges(km, cut, cgs, cgd, cgb, vgs, vds, vbs):
+        """Charge storage (mosfet.go:597-637): Meyer gate charges plus
+        voltage-dependent junction charges via df_pow."""
+        vgd = _df_add(*vgs, *_df_neg(vds))
+        vbd = _df_add(*vbs, *_df_neg(vds))
+        zz = (zero, zero)
+        qgs = _df_where(cut, zz, _df_mul(*cgs, *vgs))
+        qgd = _df_where(cut, zz, _df_mul(*cgd, *vgd))
+        qgb = _df_mul(*cgb, *_df_add(*vgs, *_df_neg(vbs)))
+        invpb = mrow["m_invpb"][km]
+        mj = mrow["m_mj"][km]
+        flo = _df_const(1e-30, lanes)
+
+        def qjunc(ceff, v):
+            base = _df_add(*one_df, *_df_neg(_df_mul(*v, *invpb)))
+            rev = df_div(*ceff, *df_pow(*_df_max(base, flo), *mj))
+            fwd = _df_mul(*ceff, *_df_add(
+                *one_df, *_df_mul(*_df_mul(*mj, *v), *invpb)))
+            return _df_mul(*_df_where(_df_gt(zz, v), rev, fwd), *v)
+
+        qbs = qjunc(mrow["m_cbs"][km], vbs)
+        qbd = qjunc(mrow["m_cbd"][km], vbd)
+        return qgs, qgd, qgb, qbs, qbd
 
     def q_currents(kq, vbe, vbc):
         """Ebers-Moll (ic, ib) — models/bjt.py currents() in double-float.
@@ -313,6 +498,23 @@ def _newton_in_kernel(n, nd_, nq_, layout, cfgk, build_matrix, const,
             jv_used[L["jv_qbc"] + kq] = limited_row(
                 L["jv_qbc"] + kq, vbc_new, qrow["q_vter"][kq],
                 qrow["q_invvter"][kq], qrow["q_vcritr"][kq])
+        for km in range(nm_):
+            # MOSFET terminal voltages carry raw — no junction limiting
+            # (engine/nlstate.py:73-85); sign flips PMOS to the stored frame
+            ndn, ngn, nsn, nbn = L["m_nodes"][km]
+            sgn = mrow["m_sign"][km]
+
+            def mterm(na, nb2):
+                diff = _df_add(x_hi[na], x_lo[na],
+                               *_df_neg((x_hi[nb2], x_lo[nb2])))
+                return _df_mul(*sgn, *diff)
+
+            for off_key, pair in (("jv_mgs", mterm(ngn, nsn)),
+                                  ("jv_mds", mterm(ndn, nsn)),
+                                  ("jv_mbs", mterm(nbn, nsn))):
+                row = L[off_key] + km
+                jv_used[row] = _df_where(
+                    sel0, (jv0_hi[row], jv0_lo[row]), pair)
 
         # --- Shockley eval + Tt companion + Norton stamp (diode.go:119-226,
         # compat prev_charge frozen per PLAN.md 1) ---
@@ -399,6 +601,105 @@ def _newton_in_kernel(n, nd_, nq_, layout, cfgk, build_matrix, const,
                 *_df_neg(_df_add(*_df_mul(*g1121, *vbe),
                                  *_df_mul(*g1222, *vbc)))))
 
+        # --- MOSFET eval + DC stamp + transient charge currents
+        # (ops/assemble.py "MOSFETs" block; mosfet.go:668-786).  status_gmin
+        # is 0 during transient NR (engine/tran.py:144), so the reference's
+        # +gmin drain/source diagonal terms vanish. ---
+        if nm_:
+            c_07 = _df_const(0.7, lanes)
+            c_01 = _df_const(0.1, lanes)
+        for km in range(nm_):
+            ndn, ngn, nsn, nbn = L["m_nodes"][km]
+            lv = L["m_level"][km]
+            vgs_u = jv_used[L["jv_mgs"] + km]
+            vds_u = jv_used[L["jv_mds"] + km]
+            vbs_u = jv_used[L["jv_mbs"] + km]
+            # cold start (mosfet.go:678-690) on the EVAL voltages only
+            cold = ((vgs_u[0] == 0) & (vgs_u[1] == 0)
+                    & (vds_u[0] == 0) & (vds_u[1] == 0)
+                    & (vbs_u[0] == 0) & (vbs_u[1] == 0))
+            vgs = _df_where(cold, c_07, vgs_u)
+            vds = _df_where(cold, c_01, vds_u)
+            vbs = _df_where(cold, (zero, zero), vbs_u)
+
+            id_, gm, gds, gmbs, cgs, cgd, cgb, cut, is_lin = m_dc_eval(
+                km, lv, vgs, vds, vbs)
+
+            g_dgm = _df_add(*gds, *gm)
+            g_all = _df_add(*g_dgm, *gmbs)
+            addx(ndn, ndn, gds)
+            addx(ndn, ngn, gm)
+            addx(ndn, nsn, _df_neg(g_all))
+            addx(ndn, nbn, gmbs)
+            addx(nsn, nsn, g_all)
+            addx(nsn, ndn, _df_neg(gds))
+            addx(nsn, ngn, _df_neg(gm))
+            addx(nsn, nbn, _df_neg(gmbs))
+            lin_rhs = _df_add(*_df_add(
+                *_df_neg(id_), *_df_mul(*gds, *vds)),
+                *_df_add(*_df_mul(*gm, *vgs), *_df_mul(*gmbs, *vbs)))
+            addx(ndn, n, lin_rhs)
+            addx(nsn, n, _df_neg(lin_rhs))
+
+            # transient: C/dt entries + charge currents with compat-frozen
+            # previous charges (PLAN.md 1; state never committed)
+            qgs, qgd, qgb, qbs, qbd = m_charges(
+                km, cut, cgs, cgd, cgb, vgs, vds, vbs)
+            cbs_e = mrow["m_cbs"][km]
+            cbd_e = mrow["m_cbd"][km]
+
+            def icap(q, prev_key):
+                prev = mrow[prev_key][km]
+                return _df_mul(*_df_add(*q, *_df_neg(prev)), *dtinv)
+
+            icgs = icap(qgs, "m_pqgs")
+            icgd = icap(qgd, "m_pqgd")
+            icgb = icap(qgb, "m_pqgb")
+            icbs = icap(qbs, "m_pqbs")
+            icbd = icap(qbd, "m_pqbd")
+
+            cgd_dt = _df_mul(*cgd, *dtinv)
+            cgs_dt = _df_mul(*cgs, *dtinv)
+            cgb_dt = _df_mul(*cgb, *dtinv)
+            cbs_dt = _df_mul(*cbs_e, *dtinv)
+            cbd_dt = _df_mul(*cbd_e, *dtinv)
+            addx(ngn, ndn, cgd_dt)
+            addx(ndn, ngn, cgd_dt)
+            addx(ngn, nsn, cgs_dt)
+            addx(nsn, ngn, cgs_dt)
+            addx(ngn, nbn, cgb_dt)
+            addx(nbn, ngn, cgb_dt)
+            addx(ngn, ngn, _df_add(*_df_add(*cgd_dt, *cgs_dt), *cgb_dt))
+            addx(nbn, nsn, cbs_dt)
+            addx(nsn, nbn, cbs_dt)
+            addx(nbn, ndn, cbd_dt)
+            addx(ndn, nbn, cbd_dt)
+            addx(nbn, nbn, _df_add(*cbd_dt, *cbs_dt))
+
+            # RHS masked by the OTHER terminal's ground check
+            # (mosfet.go:744-782) — node indices are static, so the masks are
+            # static skips
+            if ndn:
+                addx(ngn, n, icgd)
+            if ngn:
+                addx(ndn, n, _df_neg(icgd))
+            if nsn:
+                addx(ngn, n, icgs)
+            if ngn:
+                addx(nsn, n, _df_neg(icgs))
+            if nbn:
+                addx(ngn, n, icgb)
+            if ngn:
+                addx(nbn, n, _df_neg(icgb))
+            if nsn:
+                addx(nbn, n, icbs)
+            if nbn:
+                addx(nsn, n, _df_neg(icbs))
+            if ndn:
+                addx(nbn, n, icbd)
+            if nbn:
+                addx(ndn, n, _df_neg(icbd))
+
         x2_hi, x2_lo = _gj_eliminate(n, *build_matrix(extra))
 
         # --- reference convergence: from iteration 1, every row
@@ -451,7 +752,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
     function compiles directly under XLA (``TOYSPICE_TRAN_IMPL=xla``) — the
     CPU-fast path the parity tests use, since Pallas interpret mode
     evaluates the Newton loop eagerly at ~seconds per attempt."""
-    nr_, nc_, nl_, nv_, ni_, nd_, nq_ = counts
+    nr_, nc_, nl_, nv_, ni_, nd_, nq_, nm_ = counts
     f32 = jnp.float32
     lanes = dyn_hi.shape[1:]
     zero = jnp.zeros(lanes, dtype=f32)
@@ -546,7 +847,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
                 row_los.append(jnp.stack(col_los, axis=0))
             return jnp.stack(row_his, axis=0), jnp.stack(row_los, axis=0)
 
-    if nd_ == 0 and nq_ == 0:
+    if nd_ == 0 and nq_ == 0 and nm_ == 0:
         x_hi, x_lo = _gj_eliminate(n, *build_matrix({}))
         nr_k = None
         nr_conv = None
@@ -557,8 +858,8 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
         # instead of burning max_iter on their stale/singular systems
         act_mask = dyn_hi[1 + nv_ + ni_, :] > 0.5
         x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
-            n, nd_, nq_, layout, cfgk, build_matrix, const, jv_hi, jv_lo,
-            dtinv, lanes, act_mask)
+            n, nd_, nq_, nm_, layout, cfgk, build_matrix, const, jv_hi,
+            jv_lo, dtinv, lanes, act_mask)
 
     def xrow(r):
         return (x_hi[r], x_lo[r])
@@ -583,7 +884,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
         v = _df_mul(*_df_mul(*d, *dtinv), *half)
         worst = _df_max(worst, v)
 
-    if nd_ == 0 and nq_ == 0:
+    if nd_ == 0 and nq_ == 0 and nm_ == 0:
         hi_rows = [x_hi[r] for r in range(n)] + [worst[0]]
         lo_rows = [x_lo[r] for r in range(n)] + [worst[1]]
     else:
@@ -627,6 +928,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
     return xlte, stout, jvout
 
 
+@_unpinned
 def _fused_kernel(n, counts, layout, cells, rhs_cells, cfgk, dus_build,
                   const_hi_ref, const_lo_ref, dyn_hi_ref, dyn_lo_ref,
                   st_hi_ref, st_lo_ref, jv_hi_ref, jv_lo_ref,
@@ -665,6 +967,7 @@ def _layout(cc):
     ni_ = cc.kind_count("I") if "I" in cc.idx else 0
     nd_ = cc.kind_count("D") if "D" in cc.idx else 0
     nq_ = cc.kind_count("Q") if "Q" in cc.idx else 0
+    nm_ = cc.kind_count("M") if "M" in cc.idx else 0
     L = {"g": 0, "cadj": nr_, "craw": nr_ + nc_, "lval": nr_ + 2 * nc_,
          "linv": nr_ + 2 * nc_ + nl_}
     base_d = nr_ + 2 * nc_ + 2 * nl_
@@ -688,9 +991,28 @@ def _layout(cc):
             "q_vter", "q_invvter", "q_vcritr",
             "q_vbe0", "q_vbc0")):
         L[key] = base_q + off * nq_
-    n_const = base_q + 18 * nq_
-    # jv stack rows: diode vd, then BJT vbe, then BJT vbc
-    L.update({"jv_d": 0, "jv_qbe": nd_, "jv_qbc": nd_ + nq_})
+    base_m = base_q + 18 * nq_
+    # per-MOSFET attempt-invariant rows.  Precombined where the reference's
+    # factors are all parameters (mosfet.go:358-459, 540-637): beta1=KP·W/L,
+    # e2u=1/(tox·100·Ucrit) (0 when Ucrit<=0), b2u=Uo·Cox·W/(L·100),
+    # vmlu=Vmax·100·L/Uo (or ·L when Uo<=0, matching the ueff==0 guard),
+    # beta3=beta1/(1+delta/W), cgate=Cox·W·L, overlap caps scaled by W/L,
+    # junction caps resolved via the cbs==0&cj>0 select, and the five
+    # compat-frozen previous charges (never committed, PLAN.md 1).
+    for off, key in enumerate((
+            "m_sign", "m_vto", "m_gamma", "m_phi", "m_sqrtphi",
+            "m_beta1", "m_lam",
+            "m_e2u", "m_uexp", "m_b2u", "m_vmlu", "m_uopos", "m_vmax",
+            "m_theta", "m_kappa", "m_beta3",
+            "m_cgate", "m_cgso", "m_cgdo", "m_cgbo",
+            "m_cbs", "m_cbd", "m_invpb", "m_mj",
+            "m_pqgs", "m_pqgd", "m_pqgb", "m_pqbs", "m_pqbd")):
+        L[key] = base_m + off * nm_
+    n_const = base_m + 29 * nm_
+    # jv stack rows: diode vd, BJT vbe, BJT vbc, then MOSFET vgs/vds/vbs
+    L.update({"jv_d": 0, "jv_qbe": nd_, "jv_qbc": nd_ + nq_,
+              "jv_mgs": nd_ + 2 * nq_, "jv_mds": nd_ + 2 * nq_ + nm_,
+              "jv_mbs": nd_ + 2 * nq_ + 2 * nm_})
     # state stack rows (same layout for input and commit-candidate output)
     L.update({"c_q0": 0, "c_q1": nc_, "c_v0": 2 * nc_, "c_v1": 3 * nc_,
               "l_i0": 4 * nc_, "l_i1": 4 * nc_ + nl_, "l_v0": 4 * nc_ + 2 * nl_,
@@ -704,7 +1026,12 @@ def _layout(cc):
                     if nd_ else [])
     L["q_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["Q"]["nodes"])]
                     if nq_ else [])
-    return (nr_, nc_, nl_, nv_, ni_, nd_, nq_), L, n_const, n_state
+    # MOSFET node columns: drain, gate, source, bulk (mosfet.go:640-665)
+    L["m_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["M"]["nodes"])]
+                    if nm_ else [])
+    L["m_level"] = ([int(v) for v in np.asarray(cc.idx["M"]["level"])]
+                    if nm_ else [])
+    return (nr_, nc_, nl_, nv_, ni_, nd_, nq_, nm_), L, n_const, n_state
 
 
 def _hi_lo(x64):
@@ -743,8 +1070,8 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
     from ..models.limiter import vcrit as vcrit_fn
 
     counts, layout, n_const, n_state = _layout(cc)
-    nr_, nc_, nl_, nv_, ni_, nd_, nq_ = counts
-    nonlin = bool(nd_ or nq_)
+    nr_, nc_, nl_, nv_, ni_, nd_, nq_, nm_ = counts
+    nonlin = bool(nd_ or nq_ or nm_)
     n = cc.np1
     cells, rhs_cells = _build_plan(cc)
     cells = {k: tuple(v) for k, v in cells.items()}
@@ -859,6 +1186,45 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 vte_r, 1.0 / vte_r, vcrit_fn(vte_r, pql["ics"]),
                 vbe0, vbc0,
             ])
+        if nm_:
+            pml = {k: _lanes(params["M"][k], nm_, bp)
+                   for k in ("sign", "vto", "gamma", "phi", "kp", "w", "l",
+                             "lam", "tox", "uo", "ucrit", "uexp", "vmax",
+                             "theta", "kappa", "delta", "cgso", "cgdo",
+                             "cgbo", "cbs", "cbd", "cj", "as", "ps", "ad",
+                             "pd", "cjsw", "pb", "mj")}
+            cox = 3.9 * 8.85e-14 / pml["tox"]  # mosfet.go:382
+            beta1 = pml["kp"] * pml["w"] / pml["l"]
+            e2u = jnp.where(pml["ucrit"] > 0,
+                            1.0 / (pml["tox"] * 100.0 * pml["ucrit"]), 0.0)
+            b2u = pml["uo"] * cox * pml["w"] / (pml["l"] * 100.0)
+            vml = pml["vmax"] * 100.0 * pml["l"]
+            vmlu = jnp.where(pml["uo"] > 0, vml / pml["uo"], vml)
+            beta3 = beta1 / jnp.where(pml["delta"] > 0,
+                                      1.0 + pml["delta"] / pml["w"], 1.0)
+            cbs_eff = jnp.where((pml["cbs"] == 0) & (pml["cj"] > 0),
+                                pml["cj"] * pml["as"]
+                                + pml["cjsw"] * pml["ps"], pml["cbs"])
+            cbd_eff = jnp.where((pml["cbd"] == 0) & (pml["cj"] > 0),
+                                pml["cj"] * pml["ad"]
+                                + pml["cjsw"] * pml["pd"], pml["cbd"])
+
+            def mq0(key):
+                leaf = state0.get("M", {}).get(key)
+                return (jnp.zeros((nm_, bp), dtype=jnp.float64)
+                        if leaf is None else _lanes(leaf, nm_, bp))
+
+            rows.extend([
+                pml["sign"], pml["vto"], pml["gamma"], pml["phi"],
+                jnp.sqrt(pml["phi"]), beta1, pml["lam"],
+                e2u, pml["uexp"], b2u, vmlu,
+                (pml["uo"] > 0).astype(jnp.float64), pml["vmax"],
+                pml["theta"], pml["kappa"], beta3,
+                cox * pml["w"] * pml["l"], pml["cgso"] * pml["w"],
+                pml["cgdo"] * pml["w"], pml["cgbo"] * pml["l"],
+                cbs_eff, cbd_eff, 1.0 / pml["pb"], pml["mj"],
+                mq0("qgs"), mq0("qgd"), mq0("qgb"), mq0("qbs"), mq0("qbd"),
+            ])
         const64 = (jnp.concatenate(rows, axis=0) if rows
                    else jnp.zeros((1, bp), dtype=jnp.float64))
         const_hi, const_lo = _hi_lo(const64)
@@ -867,7 +1233,8 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
         # through the general XLA engine, rescue ladders included ----
         if nonlin:
             if cfg.uic:
-                jv64 = jnp.zeros((nd_ + 2 * nq_, bp), dtype=jnp.float64)
+                jv64 = jnp.zeros((nd_ + 2 * nq_ + 3 * nm_, bp),
+                                 dtype=jnp.float64)
             else:
                 paxes = {kind: {k: (0 if (k not in ("pwl_t", "pwl_v")
                                           and jnp.asarray(v).ndim == 2)
@@ -891,6 +1258,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 if nq_:
                     jrows.append(_lanes(opr.jv["Q"]["vbe"], nq_, bp))
                     jrows.append(_lanes(opr.jv["Q"]["vbc"], nq_, bp))
+                if nm_:
+                    jrows.append(_lanes(opr.jv["M"]["vgs"], nm_, bp))
+                    jrows.append(_lanes(opr.jv["M"]["vds"], nm_, bp))
+                    jrows.append(_lanes(opr.jv["M"]["vbs"], nm_, bp))
                 jv64 = jnp.concatenate(jrows, axis=0)
             jvh0, jvl0 = _hi_lo(jv64)
         else:
@@ -940,9 +1311,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
 
         # TOYSPICE_TRAN_IMPL=kernel (default) runs the attempt as the Pallas
         # kernel; =xla compiles the identical _attempt_core math as plain
-        # XLA ops — bit-identical per-op semantics (same f32 df transforms,
-        # modulo compiler fma contraction which _exact() blocks), used by the
-        # CPU parity tests where Pallas interpret mode is ~1000x slower.
+        # XLA ops — bit-identical per-op semantics (same f32 df transforms;
+        # XLA's float rewrites and fma contraction are blocked by _pin(),
+        # see ops/pallas_solve.py), used by the CPU parity tests where
+        # Pallas interpret mode is ~1000x slower.
         impl = os.environ.get("TOYSPICE_TRAN_IMPL", "kernel")
 
         def attempt_xla(dyn64, st_hi, st_lo, jv_hi, jv_lo):
@@ -1113,7 +1485,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             # compat: diode/BJT transient state is never committed (PLAN.md
             # 1) — pass state0 through, broadcast to the batch like the
             # general engine's vmapped tree_map does
-            for kind, nk in (("D", nd_), ("Q", nq_)):
+            for kind, nk in (("D", nd_), ("Q", nq_), ("M", nm_)):
                 if nk and kind in state0:
                     state[kind] = {k: _lanes(state0[kind][k], nk, bp)[:, :b].T
                                    for k in state0[kind]}
@@ -1129,6 +1501,12 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 vbc = jnp.transpose(jvf[oc:oc + nq_], (1, 0))
                 # vce = vbe − vbc always holds on exit (nlstate.py:70)
                 jv_out["Q"] = {"vbe": vbe, "vbc": vbc, "vce": vbe - vbc}
+            if nm_:
+                jv_out["M"] = {
+                    key: jnp.transpose(
+                        jvf[layout[off]:layout[off] + nm_], (1, 0))
+                    for key, off in (("vgs", "jv_mgs"), ("vds", "jv_mds"),
+                                     ("vbs", "jv_mbs"))}
         else:
             jv_out = {}
 

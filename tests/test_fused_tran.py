@@ -189,7 +189,8 @@ def test_fused_eligibility_gates():
     lmcc = compile_circuit(parse(
         "* lm\n.tran 0.1m 1m\nV1 1 0 SIN(0 1 1k)\nL1 1 2 core=CX turns=50\n"
         "R1 2 0 10\n.model CX CORE (Ms=1.6meg)\n"))
-    assert not fused_eligible(lmcc, "compat", "none", opts)
+    assert fused_eligible(lmcc, "compat", "none", opts)  # frozen J-A core
+    assert not fused_eligible(lmcc, "physics", "none", opts)
 
 
 # ---- diode decks: in-kernel Newton loop (pnjlim + df exp/log) ----
@@ -393,6 +394,86 @@ R2 4 0 20k
 """
     og, of = _compare_nl(deck)
     assert "D" in og.jv and "M" in og.jv
+
+
+# ---- transformer decks: mutual couplings + magnetic inductors ----
+# Linear-inductor decks pace at minstep in compat (junk-i0 LTE, PLAN.md 4);
+# high trtol keeps interpret-mode attempt counts tractable, as for RL above.
+
+XFMR_LIN = """* 2-winding linear transformer (transformer1.cir topology)
+.tran 0.05m 1m
+Vin 1 0 SIN(0 10 1k)
+Rp 1 2 0.1
+Lp 2 0 200m
+Ls 3 0 50m
+Rs 3 4 0.05
+Rload 4 0 10k
+K1 Lp Ls 0.95
+"""
+
+XFMR_3W = """* 3-winding transformer: 3 pairwise couplings (transformer2.cir)
+.tran 0.05m 1m
+Vin 1 0 SIN(0 10 1k)
+Rp 1 2 0.1
+Lp 2 0 200m
+Ls1 3 0 50m
+R1 3 4 0.05
+RloadA 4 0 100
+Ls2 5 0 50m
+R2 5 6 0.05
+RloadB 6 0 100
+K1 Lp Ls1 Ls2 0.95
+"""
+
+XFMR_MAG = """* J-A core transformer (transformer3.cir topology)
+.tran 0.05m 1m
+Vin 1 0 SIN(0 10 1k)
+Rp 1 2 0.1
+Lp 2 0 core=C1 turns=300
+Rs 3 4 0.1
+Ls 3 0 core=C1 turns=150
+Rload 4 0 1000
+.model C1 core(ms=1.6e6 alpha=1e-3 a=1000 c=0.1 k=2000 area=1e-4 len=0.1)
+K1 Lp Ls 0.95
+"""
+
+
+def test_fused_transformer_linear():
+    lv = np.asarray([[200e-3, 50e-3], [150e-3, 40e-3]])
+    og, of = _compare(XFMR_LIN, {"L": {"value": lv}}, opts=_HI_TRTOL)
+    assert int(np.asarray(og.accepted)[0]) >= 10
+
+
+def test_fused_transformer_three_winding():
+    _compare(XFMR_3W, opts=_HI_TRTOL)
+
+
+def test_fused_transformer_magnetic():
+    """LM branch rows (frozen J-A core, compat) + LM-LM mutual coupling:
+    the L0/Leff gate and the frozen-i0 RHS memory flow through the dyn
+    stack; state passthrough is asserted by the state comparison loop."""
+    og, of = _compare(XFMR_MAG, opts=_HI_TRTOL)
+    assert "LM" in og.state
+    assert int(np.asarray(og.accepted)[0]) >= 10
+
+
+def test_fused_transformer_mixed_kinds():
+    """A mutual pair coupling a LINEAR inductor to a MAGNETIC winding: the
+    per-pair static partner dispatch (live in-kernel junk i0 vs frozen LM
+    i0) is exercised on both sides."""
+    deck = """* mixed L-LM coupling
+.tran 0.05m 1m
+Vin 1 0 SIN(0 5 1k)
+Rp 1 2 0.5
+Lp 2 0 100m
+Rs 3 4 0.2
+Ls 3 0 core=C1 turns=200
+Rload 4 0 500
+.model C1 core(ms=1.2e6 alpha=2e-3 a=800 c=0.2 k=1500 area=2e-4 len=0.05)
+K1 Lp Ls 0.9
+"""
+    og, of = _compare(deck, opts=_HI_TRTOL)
+    assert "L" in og.state and "LM" in og.state
 
 
 D_SMOKE = """* diode interpret smoke: ~4 attempts

@@ -74,14 +74,17 @@ from .pallas_solve import (_df_add, _df_mul, _df_recip, _gj_eliminate,
 from .df_math import df_div, df_exp, df_log, df_pow, df_sqrt
 from ..consts import BOLTZMANN, CHARGE, TEMP_DEFAULT
 
-FUSED_KINDS = {"R", "C", "L", "V", "I", "D", "Q", "M"}
+FUSED_KINDS = {"R", "C", "L", "LM", "K", "V", "I", "D", "Q", "M"}
 
 
 def fused_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
     """The fused path covers: R/C/L/V/I plus diodes, BJTs and MOSFETs
-    (in-kernel Newton), compat semantics, backward Euler, store='none',
-    solver knobs that affect the in-kernel math only through scalars baked
-    at trace time (temp, reltol/abstol/max_iter are supported)."""
+    (in-kernel Newton), magnetic inductors and mutual couplings (compat
+    freezes the J-A core state — PLAN.md 1 — so L0/Leff and M=k·sqrt(LaLb)
+    are run constants computed in XLA f64 around the kernel), compat
+    semantics, backward Euler, store='none', solver knobs that affect the
+    in-kernel math only through scalars baked at trace time (temp,
+    reltol/abstol/max_iter are supported)."""
     if semantics != "compat" or store != "none":
         return False
     if opts.integration != "be":
@@ -152,6 +155,31 @@ def _build_plan(cc):
     if "I" in cc.idx:
         for k, (n1, n2) in enumerate(np.asarray(cc.idx["I"]["nodes"])):
             addr(n1, "isrc", k, 1); addr(n2, "isrc", k, -1)
+    if "LM" in cc.idx:
+        nodes = np.asarray(cc.idx["LM"]["nodes"])
+        branch = np.asarray(cc.idx["LM"]["branch"])
+        for k in range(len(branch)):
+            n1, n2, br = nodes[k, 0], nodes[k, 1], branch[k]
+            # magnetic inductor branch row, inductor sign convention
+            # (magnetic.go:197-274); the L_used/dt term and its companion
+            # RHS arrive fully formed through the dyn stack (exact XLA f64,
+            # loop math in make_tran_fused — compat freezes the core state)
+            addc(n1, br, "one", 0, -1); addc(br, n1, "one", 0, -1)
+            addc(n2, br, "one", 0, 1); addc(br, n2, "one", 0, 1)
+            addc(br, br, "lmterm", k, -1)
+            addr(br, "lmrhs", k, 1)
+    if "K" in cc.idx:
+        ba = np.asarray(cc.idx["K"]["branch_a"])
+        bb = np.asarray(cc.idx["K"]["branch_b"])
+        for k in range(len(ba)):
+            # mutual coupling cross terms between branch rows
+            # (mutual.go:106-120): -M/dt off-diagonals plus the reference's
+            # junk-i0 RHS memory, both computed per attempt in XLA f64 and
+            # passed via the dyn stack (krhs* arrive already signed)
+            addc(ba[k], bb[k], "kterm", k, -1)
+            addc(bb[k], ba[k], "kterm", k, -1)
+            addr(ba[k], "krhsa", k, 1)
+            addr(bb[k], "krhsb", k, 1)
     return cells, rhs
 
 
@@ -752,7 +780,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
     function compiles directly under XLA (``TOYSPICE_TRAN_IMPL=xla``) — the
     CPU-fast path the parity tests use, since Pallas interpret mode
     evaluates the Newton loop eagerly at ~seconds per attempt."""
-    nr_, nc_, nl_, nv_, ni_, nd_, nq_, nm_ = counts
+    nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     f32 = jnp.float32
     lanes = dyn_hi.shape[1:]
     zero = jnp.zeros(lanes, dtype=f32)
@@ -777,9 +805,18 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
     lrhs = [_df_mul(*lterm[k], *st(L["l_i1"] + k)) for k in range(nl_)]
     vsrc = [dyn(1 + k) for k in range(nv_)]
     isrc = [dyn(1 + nv_ + k) for k in range(ni_)]
+    # magnetic-inductor and mutual-coupling rows: precomputed per attempt in
+    # XLA f64 (make_tran_fused body) — the kernel only sums them into cells
+    dlm = 1 + nv_ + ni_
+    lmterm = [dyn(dlm + k) for k in range(nlm_)]
+    lmrhs = [dyn(dlm + nlm_ + k) for k in range(nlm_)]
+    kterm = [dyn(dlm + 2 * nlm_ + k) for k in range(nk_)]
+    krhsa = [dyn(dlm + 2 * nlm_ + nk_ + k) for k in range(nk_)]
+    krhsb = [dyn(dlm + 2 * nlm_ + 2 * nk_ + k) for k in range(nk_)]
 
     tables = {"g": g, "geq": geq, "ceq": ceq, "lterm": lterm, "lrhs": lrhs,
-              "vsrc": vsrc, "isrc": isrc}
+              "vsrc": vsrc, "isrc": isrc, "lmterm": lmterm, "lmrhs": lmrhs,
+              "kterm": kterm, "krhsa": krhsa, "krhsb": krhsb}
 
     def term_value(tag, k, s):
         if tag == "one":
@@ -856,7 +893,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
         # lanes the XLA attempt loop considers inactive (batch padding, or
         # instances already done) start converged: zero Newton iterations
         # instead of burning max_iter on their stale/singular systems
-        act_mask = dyn_hi[1 + nv_ + ni_, :] > 0.5
+        act_mask = dyn_hi[1 + nv_ + ni_ + 2 * nlm_ + 3 * nk_, :] > 0.5
         x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
             n, nd_, nq_, nm_, layout, cfgk, build_matrix, const, jv_hi,
             jv_lo, dtinv, lanes, act_mask)
@@ -963,8 +1000,10 @@ def _layout(cc):
     nr_ = cc.kind_count("R") if "R" in cc.idx else 0
     nc_ = cc.kind_count("C") if "C" in cc.idx else 0
     nl_ = cc.kind_count("L") if "L" in cc.idx else 0
+    nlm_ = cc.kind_count("LM") if "LM" in cc.idx else 0
     nv_ = cc.kind_count("V") if "V" in cc.idx else 0
     ni_ = cc.kind_count("I") if "I" in cc.idx else 0
+    nk_ = len(np.asarray(cc.idx["K"]["branch_a"])) if "K" in cc.idx else 0
     nd_ = cc.kind_count("D") if "D" in cc.idx else 0
     nq_ = cc.kind_count("Q") if "Q" in cc.idx else 0
     nm_ = cc.kind_count("M") if "M" in cc.idx else 0
@@ -1031,7 +1070,7 @@ def _layout(cc):
                     if nm_ else [])
     L["m_level"] = ([int(v) for v in np.asarray(cc.idx["M"]["level"])]
                     if nm_ else [])
-    return (nr_, nc_, nl_, nv_, ni_, nd_, nq_, nm_), L, n_const, n_state
+    return (nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_), L, n_const, n_state
 
 
 def _hi_lo(x64):
@@ -1067,10 +1106,11 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
     from ..models.sources import eval_sources_lanes
     from ..models import bjt as bjt_model
     from ..models import diode as diode_model
+    from ..models import magnetic as mag_model
     from ..models.limiter import vcrit as vcrit_fn
 
     counts, layout, n_const, n_state = _layout(cc)
-    nr_, nc_, nl_, nv_, ni_, nd_, nq_, nm_ = counts
+    nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     nonlin = bool(nd_ or nq_ or nm_)
     n = cc.np1
     cells, rhs_cells = _build_plan(cc)
@@ -1134,6 +1174,50 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
 
         pv = pad_src(params["V"]) if nv_ else None
         pi = pad_src(params["I"]) if ni_ else None
+
+        # ---- magnetic-inductor / mutual-coupling run constants (compat
+        # freezes the J-A core state, PLAN.md 1, so everything except the
+        # per-attempt /dt scaling and the t<dt L0 gate is loop-invariant;
+        # all math here is exact XLA f64, matching ops/assemble.py) ----
+        if nlm_:
+            pml_lm = {k: _lanes(params["LM"][k], nlm_, bp)
+                      for k in ("turns", "ms", "alpha", "a", "c", "k",
+                                "area", "len", "tc", "beta")}
+
+            def lmrow(key):
+                leaf = state0.get("LM", {}).get(key)
+                return (jnp.zeros((nlm_, bp), dtype=jnp.float64)
+                        if leaf is None else _lanes(leaf, nlm_, bp))
+
+            lm_i0 = lmrow("i0")
+            lm_i1 = lmrow("i1")
+            core0 = mag_model.CoreState(
+                H=lmrow("H"), Hold=lmrow("Hold"), M=lmrow("M"),
+                Mirr=lmrow("Mirr"), dMdH=lmrow("dMdH"))
+            lm_l0 = jnp.broadcast_to(mag_model.l_zero(pml_lm), (nlm_, bp))
+            lm_leff, _ = mag_model.l_effective(pml_lm, core0, lm_i0,
+                                               jnp.float64(temp))
+            lm_leff = jnp.broadcast_to(lm_leff, (nlm_, bp))
+        if nk_:
+            kidx = cc.idx["K"]
+            ka = np.asarray(kidx["kind_a"])
+            ia = np.asarray(kidx["idx_a"])
+            kb = np.asarray(kidx["kind_b"])
+            ib = np.asarray(kidx["idx_b"])
+            lval_lanes = _lanes(params["L"]["value"], nl_, bp) if nl_ else None
+            lm_vm = (jnp.broadcast_to(
+                mag_model.value_for_mutual(pml_lm, core0, lm_i0,
+                                           jnp.float64(temp)),
+                (nlm_, bp)) if nlm_ else None)
+
+            def pick_pairs(kinds, idxs, lin_tbl, mag_tbl):
+                # static per-pair partner selection (compiler kind 0 = L)
+                return jnp.stack([lin_tbl[i] if kk == 0 else mag_tbl[i]
+                                  for kk, i in zip(kinds, idxs)])
+
+            la_k = pick_pairs(ka, ia, lval_lanes, lm_vm)
+            lb_k = pick_pairs(kb, ib, lval_lanes, lm_vm)
+            mij_k = _lanes(params["K"]["coeff"], nk_, bp) * jnp.sqrt(la_k * lb_k)
 
         # ---- const stack (attempt-invariant, split to df once) ----
         rows = []
@@ -1390,6 +1474,28 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             if ni_:
                 drows.append(eval_sources_lanes(
                     cc.idx["I"]["stype"], pi, t, bp))
+            if nlm_:
+                # magnetic branch value: the |i0|<1e-9 guard always holds in
+                # compat (i0 frozen at 0) but the t<dt gate and a nonzero
+                # user-provided i0 are honored exactly (assemble.py LM tran)
+                use_l0 = (t < dt_eff)[None, :] | (jnp.abs(lm_i0) < 1e-9)
+                l_used = jnp.where(use_l0, lm_l0, lm_leff)
+                lmterm = l_used / dt_eff
+                drows.append(lmterm)
+                drows.append(lmterm * lm_i1)
+            if nk_:
+                # mutual cross term M/dt (stamped with s=-1 in-kernel) and
+                # the reference's junk-i0 RHS memory (mutual.go:114-115):
+                # linear-L partners read the live in-kernel committed i0
+                st64b = (c["st_hi"].astype(f64)
+                         + c["st_lo"].astype(f64)).reshape(ks, bp)
+                l_i0_dyn = (st64b[layout["l_i0"]:layout["l_i0"] + nl_]
+                            if nl_ else None)
+                i0a = pick_pairs(ka, ia, l_i0_dyn, lm_i0 if nlm_ else None)
+                i0b = pick_pairs(kb, ib, l_i0_dyn, lm_i0 if nlm_ else None)
+                drows.append(mij_k / dt_eff)
+                drows.append(-mij_k * i0b / dt_eff)
+                drows.append(-mij_k * i0a / dt_eff)
             if nonlin:
                 # active-lane mask for the in-kernel Newton loop (inactive
                 # lanes skip NR entirely instead of spinning to max_iter)
@@ -1481,6 +1587,11 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 "flux0": grab(layout["l_flux0"], nl_),
                 "hist": jnp.where(started, 1.0, hist0),
             }
+        if nlm_ and "LM" in state0:
+            # compat never commits magnetic-inductor state (PLAN.md 1):
+            # pass state0 through, broadcast to the batch
+            state["LM"] = {k: _lanes(state0["LM"][k], nlm_, bp)[:, :b].T
+                           for k in state0["LM"]}
         if nonlin:
             # compat: diode/BJT transient state is never committed (PLAN.md
             # 1) — pass state0 through, broadcast to the batch like the

@@ -22,6 +22,15 @@ from ..engine.tran import TranConfig, make_tran
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: asked for {n_devices} devices but the "
+                f"{devs[0].platform} platform exposes only {len(devs)}; "
+                "for a virtual CPU mesh set "
+                "--xla_force_host_platform_device_count and force "
+                'jax.config.update("jax_platforms", "cpu") before backend '
+                "init (see tests/conftest.py)"
+            )
         devs = devs[:n_devices]
     import numpy as np
 

@@ -175,6 +175,15 @@ def main(argv=None):
             debug.print_element_details(cc)
             debug.print_system(cc)
             print("\n[4] Running analysis")
+            if args.engine == "xla":
+                from .ops.solve import _solver_backend
+
+                print(f"engine: xla (solver backend: {_solver_backend()}; "
+                      "single-instance runs use the general engine — the "
+                      "fused transient kernel serves the batch API, see "
+                      "engine/batch.py)")
+            else:
+                print(f"engine: {args.engine}")
             results = _run(cc, args.engine)
         else:
             results = _run(text, args.engine)

@@ -7,10 +7,13 @@ counts and convergence rescue all come from JAX's ``while_loop`` batching
 (masked carries) — no hand-written divergence handling.
 """
 
+import logging
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_log = logging.getLogger("toyspice_tpu.engine")
 
 from .ac import make_ac
 from .dc import make_dc
@@ -55,20 +58,53 @@ def make_tran_batch(cc, cfg: TranConfig, in_axes,
     the dispatch (auto = fused exactly when eligible on TPU).  ``params`` is
     only consulted by the eligibility check (batched PWL knot tables are not
     supported by the fused path)."""
+    engine, reason, fn = select_tran_engine(
+        cc, cfg, in_axes, semantics=semantics, store=store, opts=opts,
+        params=params)
+    _log.info("transient engine: %s (%s)", engine, reason)
+    fn = jax.jit(fn) if jit else fn
+    try:
+        fn.engine = engine
+        fn.engine_reason = reason
+    except AttributeError:  # jit wrappers that reject attribute assignment
+        pass
+    return fn
+
+
+def select_tran_engine(cc, cfg: TranConfig, in_axes,
+                       semantics: str = "compat", store: str = "none",
+                       opts: SimOptions = DEFAULTS, params=None):
+    """Decide fused-kernel vs general engine for a batched transient.
+
+    Returns (engine_name, reason, fn) with engine_name in
+    {"fused", "general"} and a human-readable reason — the dispatch is
+    otherwise silent and a user benchmarking an ineligible configuration
+    (e.g. store="full") would land on the ~50x slower general path with no
+    signal."""
     import os
 
-    from ..ops.pallas_tran import fused_eligible, make_tran_fused
+    from ..ops.pallas_tran import fused_ineligible_reason, make_tran_fused
     from ..ops.solve import _solver_backend
 
     mode = os.environ.get("TOYSPICE_TRAN", "auto")
-    if (mode != "general"
-            and fused_eligible(cc, semantics, store, opts, params)
-            and (mode == "fused" or _solver_backend() == "pallas")):
+    why_not = fused_ineligible_reason(cc, semantics, store, opts, params)
+    if mode == "general":
+        engine, reason = "general", "TOYSPICE_TRAN=general override"
+    elif why_not is not None:
+        engine, reason = "general", why_not
+    elif mode != "fused" and _solver_backend() != "pallas":
+        engine, reason = "general", (
+            f"solver backend is {_solver_backend()!r}, not the TPU Pallas "
+            "backend (set TOYSPICE_TRAN=fused to force)")
+    else:
+        engine, reason = "fused", "eligible (compat/BE, store='none')"
+
+    if engine == "fused":
         fn = make_tran_fused(cc, cfg, opts)
     else:
         tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts)
         fn = jax.vmap(tran, in_axes=(in_axes, None))
-    return jax.jit(fn) if jit else fn
+    return engine, reason, fn
 
 
 def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,

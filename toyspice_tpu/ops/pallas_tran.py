@@ -77,20 +77,28 @@ from ..consts import BOLTZMANN, CHARGE, TEMP_DEFAULT
 FUSED_KINDS = {"R", "C", "L", "LM", "K", "V", "I", "D", "Q", "M"}
 
 
-def fused_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
-    """The fused path covers: R/C/L/V/I plus diodes, BJTs and MOSFETs
+def fused_ineligible_reason(cc, semantics: str, store: str, opts,
+                            params=None):
+    """Why this run can NOT use the fused kernel; None when it can.
+
+    The fused path covers: R/C/L/V/I plus diodes, BJTs and MOSFETs
     (in-kernel Newton), magnetic inductors and mutual couplings (compat
     freezes the J-A core state — PLAN.md 1 — so L0/Leff and M=k·sqrt(LaLb)
     are run constants computed in XLA f64 around the kernel), compat
     semantics, backward Euler, store='none', solver knobs that affect the
     in-kernel math only through scalars baked at trace time (temp,
     reltol/abstol/max_iter are supported)."""
-    if semantics != "compat" or store != "none":
-        return False
+    if semantics != "compat":
+        return f"semantics={semantics!r} (fused kernel is compat-only)"
+    if store != "none":
+        return (f"store={store!r} (fused kernel emits counters/final state "
+                "only; waveform storage runs on the general engine)")
     if opts.integration != "be":
-        return False
-    if not set(cc.idx.keys()) <= FUSED_KINDS:
-        return False
+        return (f"integration={opts.integration!r} (fused kernel is "
+                "backward-Euler only)")
+    extra = set(cc.idx.keys()) - FUSED_KINDS
+    if extra:
+        return f"device kinds {sorted(extra)} not supported by the kernel"
     if params is not None:
         # batched PWL knot tables are not supported by the lane evaluator
         for kind in ("V", "I"):
@@ -98,8 +106,12 @@ def fused_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
                 for key in ("pwl_t", "pwl_v"):
                     leaf = params[kind].get(key)
                     if leaf is not None and jnp.asarray(leaf).ndim > 2:
-                        return False
-    return True
+                        return "batched (per-instance) PWL knot tables"
+    return None
+
+
+def fused_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
+    return fused_ineligible_reason(cc, semantics, store, opts, params) is None
 
 
 # ------------------------------------------------------------------- plan

@@ -13,6 +13,12 @@ native:
 test:
 	python -m pytest tests/ -q
 
+test-slow:
+	python -m pytest tests/ -q -m slow
+
+test-all:
+	python -m pytest tests/ -q -m "slow or not slow"
+
 bench:
 	python bench.py
 

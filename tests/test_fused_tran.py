@@ -9,12 +9,15 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 
 @pytest.fixture(autouse=True)
 def _restore_fused_env():
-    keys = ("TOYSPICE_TRAN_UNROLL", "TOYSPICE_TRAN_IMPL")
+    keys = ("TOYSPICE_TRAN_UNROLL", "TOYSPICE_TRAN_IMPL",
+            "TOYSPICE_FUSED_STORE_ATTEMPTS")
     saved = {k: os.environ.get(k) for k in keys}
     yield
     for k, v in saved.items():
@@ -172,7 +175,8 @@ def test_fused_eligibility_gates():
     cc = compile_circuit(parse(RC_SIN))
     assert fused_eligible(cc, "compat", "none", opts)
     assert not fused_eligible(cc, "physics", "none", opts)
-    assert not fused_eligible(cc, "compat", "full", opts)
+    assert fused_eligible(cc, "compat", "full", opts)  # waveform store
+    assert not fused_eligible(cc, "compat", "sparse", opts)
     assert not fused_eligible(cc, "compat", "none",
                               SimOptions(integration="trap"))
     dcc = compile_circuit(parse(
@@ -474,6 +478,85 @@ K1 Lp Ls 0.9
 """
     og, of = _compare(deck, opts=_HI_TRTOL)
     assert "L" in og.state and "LM" in og.state
+
+
+# ---- store='full' waveform storage from the fused path ----
+
+RC_TSTART = """* rc sin with tstart
+.tran 0.02m 1m 0.4m
+Vin 1 0 SIN(0 5 1k)
+R1 1 2 100
+C1 2 0 1u
+"""
+
+
+def _compare_store_full(deck, overrides=None, opts=DEFAULTS):
+    """Waveform A/B: the fused path's attempt-indexed store + compaction
+    must reproduce the general engine's accepted-indexed rows exactly in
+    time and to df precision in values (general solves in f64 on the CPU
+    test platform, fused in double-float)."""
+    os.environ["TOYSPICE_TRAN_IMPL"] = "xla"
+    os.environ["TOYSPICE_TRAN_UNROLL"] = "2"
+    # small attempt buffer: these decks take <500 attempts, and the default
+    # 2*max_store+256 would allocate ~100MB of lane-padded buffer per test
+    os.environ["TOYSPICE_FUSED_STORE_ATTEMPTS"] = "2048"
+    cc = compile_circuit(parse(deck))
+    assert fused_eligible(cc, "compat", "full", opts)
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts)
+    state0 = init_state(cc)
+    if not overrides:
+        overrides = {"R": {"value": np.asarray(cc.params["R"]["value"])[None, :]}}
+    params, axes = batch_params(cc, overrides)
+
+    gen = jax.jit(jax.vmap(make_tran(cc, cfg, store="full", opts=opts),
+                           in_axes=(axes, None)))
+    og = gen(params, state0)
+    of = jax.jit(make_tran_fused(cc, cfg, opts, store="full"))(params, state0)
+
+    np.testing.assert_array_equal(np.asarray(of.accepted),
+                                  np.asarray(og.accepted))
+    np.testing.assert_array_equal(np.asarray(of.out_n), np.asarray(og.out_n))
+    assert not bool(np.any(np.asarray(of.store_overflow)))
+    b = np.asarray(og.out_n).shape[0]
+    for i in range(b):
+        ns = int(og.out_n[i])
+        np.testing.assert_array_equal(np.asarray(of.out_t[i, :ns]),
+                                      np.asarray(og.out_t[i, :ns]))
+        sc = max(1e-30, float(np.max(np.abs(np.asarray(og.out_x[i, :ns])))))
+        np.testing.assert_allclose(np.asarray(of.out_x[i, :ns]),
+                                   np.asarray(og.out_x[i, :ns]),
+                                   rtol=5e-7, atol=5e-10 * sc)
+        # masked padding rows are zeroed like a fresh buffer
+        assert np.all(np.asarray(of.out_x[i, ns:]) == 0.0)
+        assert np.all(np.asarray(of.out_t[i, ns:]) == 0.0)
+    return og, of
+
+
+def test_fused_store_full_linear():
+    rv = np.asarray([[100.0], [130.0], [70.0]])
+    _compare_store_full(RC_SIN, {"R": {"value": rv}})
+
+
+def test_fused_store_full_reject_churn():
+    """Mixed accept/reject trajectories: kept rows are interleaved with
+    rejected attempts in the attempt buffer, so compaction must skip the
+    rejects."""
+    og, _ = _compare_store_full(RC_SIN, opts=SimOptions(trtol=0.0125))
+    assert int(np.asarray(og.attempts)[0]) > int(np.asarray(og.accepted)[0])
+
+
+def test_fused_store_full_tstart():
+    """Rows before tstart are accepted but not stored (tran.go:141-143)."""
+    og, of = _compare_store_full(RC_TSTART)
+    assert int(np.asarray(og.out_n)[0]) < int(np.asarray(og.accepted)[0])
+    assert float(np.asarray(of.out_t)[0, 0]) >= 0.4e-3
+
+
+def test_fused_store_full_diode():
+    rv = np.asarray(compile_circuit(parse(D_RES)).params["R"]["value"])
+    _compare_store_full(D_RES, {"R": {"value": rv[None, :] * [[1.0], [0.9]]}},
+                        opts=_NL_OPTS)
 
 
 D_SMOKE = """* diode interpret smoke: ~4 attempts

@@ -15,6 +15,8 @@ warm-up (incl. the rescue ladders when NR needs them) implicitly.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,8 @@ C++ sparse LU."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import toyspice_tpu as ts
 from toyspice_tpu import hostsim, native
 from toyspice_tpu.compiler import compile_circuit

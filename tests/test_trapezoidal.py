@@ -5,6 +5,8 @@ GetIntegratorCoeffs(Gear, 1, dt) — integrator.go, SURVEY.md #22)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 import toyspice_tpu as ts

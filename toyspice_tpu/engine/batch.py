@@ -97,10 +97,10 @@ def select_tran_engine(cc, cfg: TranConfig, in_axes,
             f"solver backend is {_solver_backend()!r}, not the TPU Pallas "
             "backend (set TOYSPICE_TRAN=fused to force)")
     else:
-        engine, reason = "fused", "eligible (compat/BE, store='none')"
+        engine, reason = "fused", f"eligible (compat/BE, store={store!r})"
 
     if engine == "fused":
-        fn = make_tran_fused(cc, cfg, opts)
+        fn = make_tran_fused(cc, cfg, opts, store=store)
     else:
         tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts)
         fn = jax.vmap(tran, in_axes=(in_axes, None))

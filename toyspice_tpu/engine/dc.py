@@ -26,11 +26,13 @@ def sweep_values(start: float, stop: float, inc: float):
     return vals
 
 
-def make_dc(cc, src_slots, opts: SimOptions = DEFAULTS):
+def make_dc(cc, src_slots, opts: SimOptions = DEFAULTS,
+            semantics: str = "compat"):
     """src_slots: tuple of indices into the V table for the swept sources
     (1 = single sweep, 2 = nested)."""
     np1 = cc.np1
-    nr = make_nr(cc, mode="op", warm_start=True, conv="dc", opts=opts)
+    nr = make_nr(cc, mode="op", warm_start=True, conv="dc",
+                 semantics=semantics, opts=opts)
 
     def set_source(params, slot, val):
         p2 = dict(params)

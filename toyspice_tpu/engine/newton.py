@@ -85,7 +85,8 @@ def make_nr(cc, mode: str, warm_start: bool, conv: str = "op",
     def nr(params, state, jv_carry, x_init, t, dt, gmin, dc_scale) -> NRResult:
         def body(carry):
             k, x_prev, jv_prev, _ = carry
-            jv_next = update_jv(cc, params, x_prev, jv_prev)
+            jv_next = update_jv(cc, params, x_prev, jv_prev,
+                                semantics=semantics)
             if warm_start:
                 jv_used = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(k == 0, a, b), jv_carry, jv_next

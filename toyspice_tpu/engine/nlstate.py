@@ -36,7 +36,8 @@ def init_jv(cc) -> Dict:
     return jv
 
 
-def update_jv(cc, params, x, jv_prev: Dict, limit: bool = True) -> Dict:
+def update_jv(cc, params, x, jv_prev: Dict, limit: bool = True,
+              semantics: str = "compat") -> Dict:
     """Device voltages from the solution vector x, limited against the
     previous iteration's values."""
     jv: Dict = {}
@@ -48,7 +49,16 @@ def update_jv(cc, params, x, jv_prev: Dict, limit: bool = True) -> Dict:
         if limit:
             vte = pd["n"] * _VT
             vc = vcrit(vte, pd["is_"])
-            vd = pnjlim(vd, jv_prev["D"]["vd"], vte, vc)
+            vlim = pnjlim(vd, jv_prev["D"]["vd"], vte, vc)
+            if semantics == "physics":
+                # breakdown-frame limiting (SPICE3F5 diode.c): Newton on the
+                # clamped reverse exponential otherwise advances ~1 nVt per
+                # iteration; limit -(Bv+vd) exactly like a forward junction.
+                vd_old = jv_prev["D"]["vd"]
+                in_bkd = (vd < -pd["bv"]) | (vd_old < -pd["bv"])
+                vbk = pnjlim(-(pd["bv"] + vd), -(pd["bv"] + vd_old), vte, vc)
+                vlim = jnp.where(in_bkd, -pd["bv"] - vbk, vlim)
+            vd = vlim
         jv["D"] = {"vd": vd}
 
     if "Q" in cc.idx:

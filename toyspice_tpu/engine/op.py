@@ -40,9 +40,10 @@ class OPResult(NamedTuple):
     #                     stepping, 2 source stepping (observability only)
 
 
-def make_op(cc, opts: SimOptions = DEFAULTS):
+def make_op(cc, opts: SimOptions = DEFAULTS, semantics: str = "compat"):
     np1 = cc.np1
-    nr = make_nr(cc, mode="op", warm_start=False, conv="op", opts=opts)
+    nr = make_nr(cc, mode="op", warm_start=False, conv="op",
+                 semantics=semantics, opts=opts)
 
     def initial_estimate(params, state, dc_scale):
         """Linear-devices-only solve (op.go:90-111), stamped with the

@@ -71,6 +71,9 @@ class TranOutput(NamedTuple):
     t_final: jnp.ndarray  # committed simulation time on exit
     state: dict
     jv: dict
+    # fused store='full' only: True where the attempt buffer overflowed and
+    # stored waveform rows were dropped (ops/pallas_tran.py); None elsewhere
+    store_overflow: object = None
 
 
 def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full",
@@ -91,7 +94,7 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
     trap = opts.integration == "trap" and semantics == "physics"
     nr = make_nr(cc, mode="tran", warm_start=True, conv="op",
                  semantics=semantics, opts=opts)
-    op_execute, _ = make_op(cc, opts)
+    op_execute, _ = make_op(cc, opts, semantics=semantics)
     commit = make_commit(cc, semantics, opts.integration, opts.temp)
     op_seed = make_op_seed(cc)
     lte_fn = make_lte(cc)

@@ -353,7 +353,12 @@ def _assemble_acc(
             nodes = cc.idx["D"]["nodes"]
             pd = params["D"]
             vd = jv["D"]["vd"]
-            id_, gd = diode_model.dc_eval(pd, vd, temp)
+            if semantics == "physics":
+                # Rs/Bv live only here: the reference parses both and never
+                # uses them (diode.go:65-69); compat stays faithful to that
+                id_, gd = diode_model.dc_eval_physics(pd, vd, temp)
+            else:
+                id_, gd = diode_model.dc_eval(pd, vd, temp)
             if tran:
                 charge = pd["tt"] * id_
                 cap_cur = jnp.where(dt > 0, (charge - state["D"]["prev_charge"]) / dt, 0.0)

@@ -90,9 +90,8 @@ def fused_ineligible_reason(cc, semantics: str, store: str, opts,
     reltol/abstol/max_iter are supported)."""
     if semantics != "compat":
         return f"semantics={semantics!r} (fused kernel is compat-only)"
-    if store != "none":
-        return (f"store={store!r} (fused kernel emits counters/final state "
-                "only; waveform storage runs on the general engine)")
+    if store not in ("none", "full"):
+        return f"store={store!r} (fused path supports 'none' and 'full')"
     if opts.integration != "be":
         return (f"integration={opts.integration!r} (fused kernel is "
                 "backward-Euler only)")
@@ -1103,15 +1102,26 @@ def _lanes(leaf, nk, bp):
     return out
 
 
-def make_tran_fused(cc, cfg, opts, block: int | None = None):
+def make_tran_fused(cc, cfg, opts, block: int | None = None,
+                    store: str = "none"):
     """Batched fused transient for eligible circuits.
 
     Returns fn(params, state0) -> TranOutput with a leading batch axis on
     every per-instance field.  `params` leaves are (nk,) shared or (B, nk)
     batched; `state0` is the unbatched init_state(cc) dict (or (B, nk)
-    leaves).  Semantics: exactly engine/tran.py compat/BE with store='none'
-    (the control flow below is a line-for-line counterpart; state/LTE/solve
-    run in-kernel).
+    leaves).  Semantics: exactly engine/tran.py compat/BE (the control flow
+    below is a line-for-line counterpart; state/LTE/solve run in-kernel).
+
+    store='full' keeps the kernel untouched and stores waveforms from the
+    XLA control loop: every attempt's solution is written at the UNIFORM
+    loop-iteration slot (one in-place dynamic_update_slice per attempt — no
+    per-lane scatter on the hot path, which XLA would serialize), with a
+    per-lane keep bit for `accepted & t >= tstart` (tran.go:141-143).  After
+    the loop, one cumsum+searchsorted+gather compacts kept rows into the
+    accepted-indexed (b, max_store, np1) layout the general engine emits.
+    The attempt buffer holds 2*max_store+256 attempts (override:
+    TOYSPICE_FUSED_STORE_ATTEMPTS); a run whose reject churn exceeds that
+    reports the truncation per-lane in TranOutput.store_overflow.
     """
     from ..engine.op import make_op
     from ..engine.tran import TranOutput
@@ -1460,6 +1470,19 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             attempts=jnp.zeros(bp, dtype=jnp.int32),
             nr_iters=jnp.zeros(bp, dtype=jnp.int32),
         )
+        if store == "full":
+            # attempt buffers: row `la` is a trash slot for loop overshoot
+            la = int(os.environ.get("TOYSPICE_FUSED_STORE_ATTEMPTS",
+                                    2 * cfg.max_store + 256))
+            la = min(la, cfg.max_attempts)
+            carry0.update(
+                it=jnp.int32(0),
+                buf_hi=jnp.zeros((la + 1, n, bp), dtype=jnp.float32),
+                buf_lo=jnp.zeros((la + 1, n, bp), dtype=jnp.float32),
+                t_buf=jnp.zeros((la + 1, bp), dtype=f64),
+                keep_buf=jnp.zeros((la + 1, bp), dtype=bool),
+                n_kept=jnp.zeros(bp, dtype=jnp.int32),
+            )
 
         # The while cond is a cross-batch reduction whose value gates the next
         # dispatch — on TPU that serializes every iteration behind a scalar
@@ -1556,7 +1579,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
 
             done = c["done"] | (active & ((accept & (next_t >= cfg.tstop))
                                           | hard_fail))
-            return dict(
+            out = dict(
                 t=t_new, dt=dt_new, done=done,
                 fail=c["fail"] | (hard_fail & active),
                 st_hi=st_hi, st_lo=st_lo,
@@ -1565,6 +1588,20 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
                 attempts=c["attempts"] + active.astype(jnp.int32),
                 nr_iters=c["nr_iters"] + nr_it * active.astype(jnp.int32),
             )
+            if store == "full":
+                keep = acc_act & (next_t >= cfg.tstart)
+                slot = jnp.minimum(c["it"], la)  # la = trash row (overshoot)
+                out["it"] = c["it"] + 1
+                out["buf_hi"] = jax.lax.dynamic_update_slice(
+                    c["buf_hi"], xlte_hi[None, :n], (slot, zero, zero))
+                out["buf_lo"] = jax.lax.dynamic_update_slice(
+                    c["buf_lo"], xlte_lo[None, :n], (slot, zero, zero))
+                out["t_buf"] = jax.lax.dynamic_update_slice(
+                    c["t_buf"], next_t[None], (slot, zero))
+                out["keep_buf"] = jax.lax.dynamic_update_slice(
+                    c["keep_buf"], keep[None], (slot, zero))
+                out["n_kept"] = c["n_kept"] + keep.astype(jnp.int32)
+            return out
 
         def unrolled_body(c):
             for _ in range(unroll):
@@ -1633,10 +1670,43 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
         else:
             jv_out = {}
 
+        if store == "full":
+            # compact kept attempt rows into accepted order: for output slot
+            # s of a lane, the source attempt row is the first whose running
+            # keep-count reaches s+1 (searchsorted on the per-lane cumsum —
+            # all gathers, no lane-varying scatter)
+            k_store = cfg.max_store
+            kp = c["keep_buf"][:la, :b]  # live lanes only; padding is junk
+            cnt = jnp.cumsum(kp.astype(jnp.int32), axis=0)  # (la, b)
+            stored = cnt[-1]
+            targets = jnp.arange(1, k_store + 1, dtype=jnp.int32)
+            src = jax.vmap(
+                lambda col: jnp.searchsorted(col, targets),
+                in_axes=1, out_axes=1)(cnt)  # (k_store, b)
+            src = jnp.minimum(src, la - 1)
+            xh = jnp.take_along_axis(c["buf_hi"][:la, :, :b],
+                                     src[:, None, :], axis=0)
+            xl = jnp.take_along_axis(c["buf_lo"][:la, :, :b],
+                                     src[:, None, :], axis=0)
+            tg = jnp.take_along_axis(c["t_buf"][:la, :b], src, axis=0)
+            mask = jnp.arange(k_store, dtype=jnp.int32)[:, None] < stored[None, :]
+            x64 = jnp.where(mask[:, None, :],
+                            xh.astype(f64) + xl.astype(f64), 0.0)
+            t64 = jnp.where(mask, tg, 0.0)
+            out_x = jnp.transpose(x64, (2, 0, 1))
+            out_t = jnp.transpose(t64, (1, 0))
+            out_n = stored
+            overflow = c["n_kept"][:b] != stored
+        else:
+            out_x = jnp.zeros((b, 1, n), dtype=f64)
+            out_t = jnp.zeros((b, 1), dtype=f64)
+            out_n = jnp.zeros(b, dtype=jnp.int32)
+            overflow = jnp.zeros(b, dtype=bool)
+
         return TranOutput(
-            out_x=jnp.zeros((b, 1, n), dtype=f64),
-            out_t=jnp.zeros((b, 1), dtype=f64),
-            out_n=jnp.zeros(b, dtype=jnp.int32),
+            out_x=out_x,
+            out_t=out_t,
+            out_n=out_n,
             fail=c["fail"][:b],
             accepted=c["accepted"][:b],
             attempts=c["attempts"][:b],
@@ -1644,6 +1714,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None):
             t_final=c["t"][:b],
             state=state,
             jv=jv_out,
+            store_overflow=overflow,
         )
 
     return tran_fused

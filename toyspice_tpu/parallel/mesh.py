@@ -82,6 +82,42 @@ def run_ac_sharded(cc, mesh: Mesh, params, in_axes, freqs,
     return vfn(sharded_params)
 
 
+def run_op_sharded(cc, mesh: Mesh, params, in_axes, axis: str = "data",
+                   opts=None):
+    """Batched operating point sharded over the mesh's batch axis.  Each
+    instance runs the full NR + rescue ladders on its own shard; there is no
+    cross-instance communication (instances are embarrassingly parallel)."""
+    from ..engine.op import make_op
+    from ..engine.options import DEFAULTS
+
+    op_execute, _ = make_op(cc, opts if opts is not None else DEFAULTS)
+    state0 = init_state(cc)
+    sharded_params = shard_batch(mesh, params, in_axes, axis)
+    fn = jax.jit(jax.vmap(lambda p: op_execute(p, state0),
+                          in_axes=(in_axes,)))
+    return fn(sharded_params)
+
+
+def run_dc_sharded(cc, src_slots, mesh: Mesh, params, in_axes, points,
+                   axis: str = "data", opts=None):
+    """Batched DC sweep sharded over the mesh's batch axis.  The sweep-point
+    dimension stays sequential per instance (each point warm-starts Newton
+    from the previous solution — dc.py's scan — so, unlike AC frequencies,
+    points cannot shard onto a second mesh axis without changing
+    convergence behavior).  Returns (xs, conv) laid out P(batch, None,
+    None)."""
+    from ..engine.dc import make_dc
+    from ..engine.options import DEFAULTS
+
+    dc_execute = make_dc(cc, src_slots, opts if opts is not None else DEFAULTS)
+    state0 = init_state(cc)
+    sharded_params = shard_batch(mesh, params, in_axes, axis)
+    points = jax.device_put(jnp.asarray(points), NamedSharding(mesh, P()))
+    fn = jax.jit(jax.vmap(lambda p: dc_execute(p, state0, points),
+                          in_axes=(in_axes,)))
+    return fn(sharded_params)
+
+
 def run_transient_sharded(cc, cfg: TranConfig, mesh: Mesh, params, in_axes,
                           semantics: str = "compat", axis: str = "data"):
     """One compiled, mesh-sharded batched transient.  Returns the batched

@@ -1471,15 +1471,18 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             nr_iters=jnp.zeros(bp, dtype=jnp.int32),
         )
         if store == "full":
-            # attempt buffers: row `la` is a trash slot for loop overshoot
+            # One attempt-indexed value buffer: rows [x_hi(n), x_lo(n),
+            # t(3)] — t crosses as an EXACT triple-float split (24+24+4
+            # mantissa bits covers any f64; an f64 bitcast would be bit-
+            # cheaper but crashes the TPU compiler on the emulated-f64
+            # backend) so compaction needs a single gather.  Row `la` is a
+            # trash slot for loop overshoot.
             la = int(os.environ.get("TOYSPICE_FUSED_STORE_ATTEMPTS",
                                     2 * cfg.max_store + 256))
             la = min(la, cfg.max_attempts)
             carry0.update(
                 it=jnp.int32(0),
-                buf_hi=jnp.zeros((la + 1, n, bp), dtype=jnp.float32),
-                buf_lo=jnp.zeros((la + 1, n, bp), dtype=jnp.float32),
-                t_buf=jnp.zeros((la + 1, bp), dtype=f64),
+                val_buf=jnp.zeros((la + 1, 2 * n + 3, bp), dtype=jnp.float32),
                 keep_buf=jnp.zeros((la + 1, bp), dtype=bool),
                 n_kept=jnp.zeros(bp, dtype=jnp.int32),
             )
@@ -1592,12 +1595,17 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 keep = acc_act & (next_t >= cfg.tstart)
                 slot = jnp.minimum(c["it"], la)  # la = trash row (overshoot)
                 out["it"] = c["it"] + 1
-                out["buf_hi"] = jax.lax.dynamic_update_slice(
-                    c["buf_hi"], xlte_hi[None, :n], (slot, zero, zero))
-                out["buf_lo"] = jax.lax.dynamic_update_slice(
-                    c["buf_lo"], xlte_lo[None, :n], (slot, zero, zero))
-                out["t_buf"] = jax.lax.dynamic_update_slice(
-                    c["t_buf"], next_t[None], (slot, zero))
+                # exact triple split: each residual subtraction is exact in
+                # f64 and the final residual fits f32 (<= 4 mantissa bits)
+                t_a = next_t.astype(jnp.float32)
+                r1 = next_t - t_a.astype(f64)
+                t_b = r1.astype(jnp.float32)
+                t_c = (r1 - t_b.astype(f64)).astype(jnp.float32)
+                update = jnp.concatenate(
+                    [xlte_hi[:n], xlte_lo[:n],
+                     t_a[None], t_b[None], t_c[None]], axis=0)
+                out["val_buf"] = jax.lax.dynamic_update_slice(
+                    c["val_buf"], update[None], (slot, zero, zero))
                 out["keep_buf"] = jax.lax.dynamic_update_slice(
                     c["keep_buf"], keep[None], (slot, zero))
                 out["n_kept"] = c["n_kept"] + keep.astype(jnp.int32)
@@ -1671,28 +1679,31 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             jv_out = {}
 
         if store == "full":
-            # compact kept attempt rows into accepted order: for output slot
-            # s of a lane, the source attempt row is the first whose running
-            # keep-count reaches s+1 (searchsorted on the per-lane cumsum —
-            # all gathers, no lane-varying scatter)
+            # Compact kept attempt rows into accepted order.  Lane-leading
+            # layout throughout: per-lane ops then walk the CONTIGUOUS la
+            # axis.  The inverse map is built by ONE scatter (src[lane,
+            # cnt-1] = attempt row; 0.5 s at la=60k, b=1024 on v5e, where a
+            # vmapped searchsorted costs 12 s), followed by one gather per
+            # buffer.  Rows never kept scatter to the k_store trash column.
             k_store = cfg.max_store
             kp = c["keep_buf"][:la, :b]  # live lanes only; padding is junk
             cnt = jnp.cumsum(kp.astype(jnp.int32), axis=0)  # (la, b)
             stored = cnt[-1]
-            targets = jnp.arange(1, k_store + 1, dtype=jnp.int32)
-            src = jax.vmap(
-                lambda col: jnp.searchsorted(col, targets),
-                in_axes=1, out_axes=1)(cnt)  # (k_store, b)
-            src = jnp.minimum(src, la - 1)
-            xh = jnp.take_along_axis(c["buf_hi"][:la, :, :b],
-                                     src[:, None, :], axis=0)
-            xl = jnp.take_along_axis(c["buf_lo"][:la, :, :b],
-                                     src[:, None, :], axis=0)
-            tg = jnp.take_along_axis(c["t_buf"][:la, :b], src, axis=0)
-            mask = jnp.arange(k_store, dtype=jnp.int32)[:, None] < stored[None, :]
+            lane_ix = jax.lax.broadcasted_iota(jnp.int32, (la, b), 1)
+            row_ix = jax.lax.broadcasted_iota(jnp.int32, (la, b), 0)
+            dest = jnp.where(kp, cnt - 1, k_store)
+            src = jnp.zeros((k_store + 1, b), jnp.int32).at[
+                dest, lane_ix].set(row_ix, mode="drop")[:k_store]
+            g = jnp.take_along_axis(c["val_buf"][:la, :, :b],
+                                    src[:, None, :], axis=0)
+            mask = (jnp.arange(k_store, dtype=jnp.int32)[:, None]
+                    < stored[None, :])
             x64 = jnp.where(mask[:, None, :],
-                            xh.astype(f64) + xl.astype(f64), 0.0)
-            t64 = jnp.where(mask, tg, 0.0)
+                            g[:, :n].astype(f64)
+                            + g[:, n:2 * n].astype(f64), 0.0)
+            t64 = (g[:, 2 * n].astype(f64) + g[:, 2 * n + 1].astype(f64)
+                   + g[:, 2 * n + 2].astype(f64))  # exact reconstruction
+            t64 = jnp.where(mask, t64, 0.0)
             out_x = jnp.transpose(x64, (2, 0, 1))
             out_t = jnp.transpose(t64, (1, 0))
             out_n = stored

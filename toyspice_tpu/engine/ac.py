@@ -33,12 +33,13 @@ def frequency_points(sweep: str, fstart: float, fstop: float, num_points: int):
         return fstart + i * ((fstop - fstart) / n)
 
 
-def make_ac(cc, opts: SimOptions = DEFAULTS):
+def make_ac(cc, opts: SimOptions = DEFAULTS, semantics: str = "compat"):
     np1 = cc.np1
-    op_execute, _ = make_op(cc, opts)
+    op_execute, _ = make_op(cc, opts, semantics=semantics)
 
     def solve_one(params, state, jv, freq):
-        a2, b2 = assemble_system_ac(cc, params, state, jv, freq, temp=opts.temp)
+        a2, b2 = assemble_system_ac(cc, params, state, jv, freq, temp=opts.temp,
+                                    semantics=semantics)
         x2 = linear_solve(a2, b2)
         return x2[:np1], x2[np1:]
 

@@ -507,7 +507,8 @@ def load_gmin(a, gmin):
     return a.at[diag, diag].add(gmin)
 
 
-def assemble_system_ac(cc, params: Dict, state: Dict, jv, freq, temp=TEMP_DEFAULT):
+def assemble_system_ac(cc, params: Dict, state: Dict, jv, freq,
+                       temp=TEMP_DEFAULT, semantics: str = "compat"):
     """Build the real block system for one AC frequency.
 
     Complex MNA  (G + jB)(xr + j·xi) = br + j·bi  is embedded as
@@ -582,7 +583,12 @@ def assemble_system_ac(cc, params: Dict, state: Dict, jv, freq, temp=TEMP_DEFAUL
         nodes = cc.idx["D"]["nodes"]
         pd = params["D"]
         vd = jv["D"]["vd"]
-        _, gd = diode_model.dc_eval(pd, vd, temp)
+        if semantics == "physics":
+            # small-signal gd at the physics bias includes Rs/Bv (the
+            # physics-mode OP above biased with the same model)
+            _, gd = diode_model.dc_eval_physics(pd, vd, temp)
+        else:
+            _, gd = diode_model.dc_eval(pd, vd, temp)
         cj = diode_model.junction_cap(pd, vd)
         _two_node_pattern(gacc, nodes, gd)
         _two_node_pattern(bacc, nodes, omega * cj)

@@ -273,6 +273,9 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
     rel_c = _df_const(reltol, lanes)
     abs_c = _df_const(abstol, lanes)
     c40 = _df_const(40.0, lanes)
+    if nq_:
+        d_c = _df_const(1e-6, lanes)  # models/bjt.py _DELTA
+        d_inv = _df_const(1e6, lanes)
 
     invnvt = [const(L["d_invnvt"] + k) for k in range(nd_)]
     m3nvt = [const(L["d_m3nvt"] + k) for k in range(nd_)]
@@ -290,7 +293,7 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                         "q_alphaf", "q_sign",
                         "q_vtef", "q_invvtef", "q_vcritf",
                         "q_vter", "q_invvter", "q_vcritr",
-                        "q_vbe0", "q_vbc0")}
+                        "q_vbe0", "q_vbc0", "q_expdf", "q_expdr")}
 
     mrow = {key: [const(L[key] + k) for k in range(nm_)]
             for key in ("m_sign", "m_vto", "m_gamma", "m_phi", "m_sqrtphi",
@@ -465,17 +468,32 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         qbd = qjunc(mrow["m_cbd"][km], vbd)
         return qgs, qgd, qgb, qbs, qbd
 
-    def q_currents(kq, vbe, vbc):
+    def q_exps(kq, vbe, vbc):
+        """The two Ebers-Moll exponentials, plus perturbed variants for the
+        numeric Jacobian SHARED from the same exps: exp(min((v+δ)/nVt, 40))
+        = e·exp(δ/nVt) while neither argument clamps (exp(δ/nVt) is the
+        constant q_expdf/q_expdr row), exp(40) when the perturbed argument
+        clamps.  Saves 4 of the 6 df_exp per Newton iteration; the shared
+        form differs from a direct exp only in the last df ulp, far inside
+        the loose numeric-Jacobian tolerance (tests/test_fused_tran.py)."""
+        a1r = _df_mul(*vbe, *qrow["q_invnfvt"][kq])
+        a2r = _df_mul(*vbc, *qrow["q_invnrvt"][kq])
+        e1 = df_exp(*_df_where(_df_gt(a1r, c40), c40, a1r))
+        e2 = df_exp(*_df_where(_df_gt(a2r, c40), c40, a2r))
+        e40 = _df_const(float(np.exp(40.0)), lanes)
+        a1p = _df_add(*a1r, *_df_mul(*d_c, *qrow["q_invnfvt"][kq]))
+        a2p = _df_add(*a2r, *_df_mul(*d_c, *qrow["q_invnrvt"][kq]))
+        e1p = _df_where(_df_gt(a1p, c40), e40,
+                        _df_mul(*e1, *qrow["q_expdf"][kq]))
+        e2q = _df_where(_df_gt(a2p, c40), e40,
+                        _df_mul(*e2, *qrow["q_expdr"][kq]))
+        return e1, e2, e1p, e2q
+
+    def q_currents(kq, vbe, vbc, e1, e2):
         """Ebers-Moll (ic, ib) — models/bjt.py currents() in double-float.
         qbinv = 1/qb = 1 - vbc·inv_vaf; the inv_* rows are 0 when the knob
         is off, making every factor collapse to the reference's untouched
         branch algebraically (1·x, /1)."""
-        a1 = _df_mul(*vbe, *qrow["q_invnfvt"][kq])
-        a1 = _df_where(_df_gt(a1, c40), c40, a1)
-        a2 = _df_mul(*vbc, *qrow["q_invnrvt"][kq])
-        a2 = _df_where(_df_gt(a2, c40), c40, a2)
-        e1 = df_exp(*a1)
-        e2 = df_exp(*a2)
         i_f = _df_mul(*qrow["q_sies"][kq], *_df_add(*e1, *_df_neg(one_df)))
         i_r = _df_mul(*qrow["q_sics"][kq], *_df_add(*e2, *_df_neg(one_df)))
         qbinv = _df_add(*one_df,
@@ -596,8 +614,6 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         # (ops/assemble.py:368-393; cold start bjt.go:110-120 applied to the
         # EVAL voltages only — the carried jv stays raw, like the general
         # engine where cold_start lives inside assemble) ---
-        if nq_:
-            d_c = _df_const(1e-6, lanes)  # models/bjt.py _DELTA
         for kq in range(nq_):
             ncn, nbn, nen = L["q_nodes"][kq]
             vbe_u = jv_used[L["jv_qbe"] + kq]
@@ -607,13 +623,16 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             vbe = _df_where(cold, qrow["q_vbe0"][kq], vbe_u)
             vbc = _df_where(cold, qrow["q_vbc0"][kq], vbc_u)
 
-            ic0, ib0 = q_currents(kq, vbe, vbc)
-            icp, ibp = q_currents(kq, _df_add(*vbe, *d_c), vbc)
-            icq, ibq = q_currents(kq, vbe, _df_add(*vbc, *d_c))
-            g11 = df_div(*_df_add(*icp, *_df_neg(ic0)), *d_c)
-            g12 = df_div(*_df_add(*icq, *_df_neg(ic0)), *d_c)
-            g21 = df_div(*_df_add(*ibp, *_df_neg(ib0)), *d_c)
-            g22 = df_div(*_df_add(*ibq, *_df_neg(ib0)), *d_c)
+            e1, e2, e1p, e2q = q_exps(kq, vbe, vbc)
+            ic0, ib0 = q_currents(kq, vbe, vbc, e1, e2)
+            icp, ibp = q_currents(kq, _df_add(*vbe, *d_c), vbc, e1p, e2)
+            icq, ibq = q_currents(kq, vbe, _df_add(*vbc, *d_c), e1, e2q)
+            # x(1/δ) instead of /δ: 1/δ = 1e6 as a df const; same df noise
+            # class as the division (models/bjt.py divides in f64)
+            g11 = _df_mul(*_df_add(*icp, *_df_neg(ic0)), *d_inv)
+            g12 = _df_mul(*_df_add(*icq, *_df_neg(ic0)), *d_inv)
+            g21 = _df_mul(*_df_add(*ibp, *_df_neg(ib0)), *d_inv)
+            g22 = _df_mul(*_df_add(*ibq, *_df_neg(ib0)), *d_inv)
 
             sb = qrow["q_sign"][kq]
             g1112 = _df_add(*g11, *g12)
@@ -1039,9 +1058,9 @@ def _layout(cc):
             "q_alphaf", "q_sign",
             "q_vtef", "q_invvtef", "q_vcritf",
             "q_vter", "q_invvter", "q_vcritr",
-            "q_vbe0", "q_vbc0")):
+            "q_vbe0", "q_vbc0", "q_expdf", "q_expdr")):
         L[key] = base_q + off * nq_
-    base_m = base_q + 18 * nq_
+    base_m = base_q + 20 * nq_
     # per-MOSFET attempt-invariant rows.  Precombined where the reference's
     # factors are all parameters (mosfet.go:358-459, 540-637): beta1=KP·W/L,
     # e2u=1/(tox·100·Ucrit) (0 when Ucrit<=0), b2u=Uo·Cox·W/(L·100),
@@ -1149,11 +1168,18 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     extra = 2 if nonlin else 0  # xlte rows: NR iter count + converged flag
     op_execute = make_op(cc, opts)[0] if nonlin else None
     # lanes per grid block (rounded up to a multiple of 1024 = 8 sublanes x
-    # 128 lanes); measured on v5e at the 8192-way benchmark: 1024 -> 285.6M
-    # steps/s, 2048 -> 264M, 4096 -> 243M, 8192 -> 223M.  The general solve
-    # kernel keeps its own 1-D 512 default.
+    # 128 lanes).  Linear decks are bandwidth/pipeline-bound and like small
+    # blocks (v5e 8192-way rlc: 1024 -> 285.6M steps/s, 8192 -> 223M);
+    # diode-only in-kernel-Newton decks are ISSUE-bound (short body, many
+    # short while iterations) and gain 2.3x from one maximal block
+    # (diode2 8192-way: 1024 -> 2.2M, 8192 -> 5.1M).  BJT/MOSFET bodies are
+    # FLOP-bound and indifferent (bjt2: 2.58M vs 2.49M) — keep 1024 so the
+    # (n, n+1, 8, W) VMEM working set stays small.
     if block is None:
-        block = int(os.environ.get("TOYSPICE_BLOCK", "1024"))
+        if nd_ and not (nq_ or nm_):
+            block = int(os.environ.get("TOYSPICE_BLOCK_NL", "8192"))
+        else:
+            block = int(os.environ.get("TOYSPICE_BLOCK", "1024"))
     temp = opts.temp
     trtol = opts.trtol
     dtemp = temp - TEMP_DEFAULT
@@ -1291,6 +1317,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 vte_f, 1.0 / vte_f, vcrit_fn(vte_f, pql["ies"]),
                 vte_r, 1.0 / vte_r, vcrit_fn(vte_r, pql["ics"]),
                 vbe0, vbc0,
+                # exp(delta/(n·Vt)) for the shared-exponential numeric
+                # Jacobian (see q_exps), exact XLA f64
+                jnp.exp(1e-6 / (pql["nf"] * vtq)),
+                jnp.exp(1e-6 / (pql["nr"] * vtq)),
             ])
         if nm_:
             pml = {k: _lanes(params["M"][k], nm_, bp)

@@ -60,6 +60,97 @@ def test_trap_beats_be_and_converges_second_order():
     assert 3.0 < err_tr / err_tr2 < 6.0
 
 
+# Forward-biased diode with a large transit time: the Tt diffusion charge
+# dominates the dynamics (q = Tt·id), so the order of the charge companion
+# is observable.  R2 keeps the matrix well-conditioned when the diode is off.
+D_TT = """diode tt order
+.tran {dt} 20u uic
+V1 1 0 SIN(1.0 0.4 100k)
+R1 1 2 1k
+D1 2 0 DM
+R2 2 0 100k
+.model DM D (Is=1e-12 Tt=1u)
+"""
+
+
+def _dtt_v(dt: float, integration: str):
+    cc = compile_circuit(parse(D_TT.format(dt=dt)))
+    tp = cc.netlist.tran
+    opts = SimOptions(integration=integration, tstep_divisor=1e-9,
+                      minstep_divisor=1.0, trtol=1e9)
+    cfg = build_config(tp.tstart, tp.tstop, dt, dt, tp.uic, opts=opts)
+    tran = jax.jit(make_tran(cc, cfg, semantics="physics", store="full",
+                             opts=opts))
+    out = tran(_params(cc), init_state(cc))
+    assert not bool(out.fail)
+    n = int(out.out_n)
+    return (np.asarray(out.out_t)[:n],
+            np.asarray(out.out_x)[:n, cc.node_map["2"]])
+
+
+def test_trap_diode_tt_second_order():
+    """VERDICT round-1 #7: nonlinear charge storage (diode Tt) must be
+    genuinely 2nd-order in trap mode, not BE-held.  Self-convergence against
+    a dt/8 trap reference on the shared time grid."""
+    dt = 2e-7
+    t_ref, v_ref = _dtt_v(dt / 8, "trap")
+
+    def err(dtx, integration):
+        t, v = _dtt_v(dtx, integration)
+        idx = np.searchsorted(t_ref, t)
+        idx = np.clip(idx, 0, len(t_ref) - 1)
+        # measure the settled tail: uic starts with the inconsistent q=0
+        # (exact q(0)=Tt·id(v0) != 0), and that O(1) initial transient decays
+        # over ~Tt regardless of the method's order
+        ok = (np.abs(t_ref[idx] - t) < 1e-12) & (t > 10e-6)
+        return float(np.max(np.abs(v[ok] - v_ref[idx][ok])))
+
+    e_tr = err(dt, "trap")       # measured 5.0e-5
+    e_tr2 = err(dt / 2, "trap")  # measured 1.19e-5 -> ratio 4.2 (order 2)
+    e_be = err(dt, "be")         # measured 6.2e-3
+    assert e_tr < e_be / 20.0, (e_be, e_tr)
+    assert 3.0 < e_tr / e_tr2 < 6.0, (e_tr, e_tr2)
+
+
+M_TRAP = """nmos inverter trap
+.tran {dt} 20u uic
+VDD 1 0 DC 5
+VG 2 0 SIN(2.5 2 100k)
+RD 1 3 10k
+M1 3 2 0 0 NM L=2u W=20u
+.model NM NMOS(VTO=0.7 KP=20u CGSO=1n CGDO=1n)
+"""
+
+
+def test_trap_mosfet_meyer_runs_and_agrees_with_be():
+    """Meyer-charge trap companions: stable, finite, and converging to the
+    same waveform as BE as dt -> 0 (coarse-grid runs stay within the
+    integration-error envelope of each other)."""
+    dt = 2e-7
+
+    def run(integration):
+        cc = compile_circuit(parse(M_TRAP.format(dt=dt)))
+        tp = cc.netlist.tran
+        opts = SimOptions(integration=integration, tstep_divisor=1e-9,
+                          minstep_divisor=1.0, trtol=1e9)
+        cfg = build_config(tp.tstart, tp.tstop, dt, dt, tp.uic, opts=opts)
+        out = jax.jit(make_tran(cc, cfg, semantics="physics", store="full",
+                                opts=opts))(_params(cc), init_state(cc))
+        assert not bool(out.fail)
+        n = int(out.out_n)
+        return np.asarray(out.out_x)[:n, cc.node_map["3"]]
+
+    v_tr = run("trap")
+    v_be = run("be")
+    assert np.all(np.isfinite(v_tr))
+    assert np.max(np.abs(v_tr)) < 10.0
+    # BE keeps the reference's old-time source evaluation while trap stamps
+    # end-of-interval sources (engine/tran.py), so the BE waveform lags one
+    # sample; aligned, the two differ only by integration error
+    assert np.max(np.abs(v_tr[:-1] - v_be[1:])) < 0.5, \
+        np.max(np.abs(v_tr[:-1] - v_be[1:]))
+
+
 def test_trap_rejects_compat():
     cc = compile_circuit(parse(RC.format(dt=1e-5)))
     tp = cc.netlist.tran

@@ -30,10 +30,15 @@ STAGES = [
 
 
 def run_stage(title, cmd, timeout=1500):
+    env = dict(os.environ)
+    # persistent XLA compile cache across stages/retries (the TPU transient
+    # engines take ~30 s each to compile cold)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache_tpu"))
     for attempt in (1, 2):
         try:
             r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                               timeout=timeout)
+                               timeout=timeout, env=env)
         except subprocess.TimeoutExpired:
             return False, f"TIMEOUT after {timeout}s"
         tail = "\n".join((r.stdout + r.stderr).strip().splitlines()[-25:])

@@ -46,10 +46,18 @@ def init_state(cc) -> Dict:
             "Mirr": z("LM"), "dMdH": z("LM"),
         }
     if "D" in cc.idx:
-        state["D"] = {"prev_vd": z("D"), "prev_id": z("D"), "prev_charge": z("D")}
+        # ic0/hist: committed diffusion-capacitance current + first-step flag
+        # for the trapezoidal Tt companion (physics mode; compat never
+        # commits and ignores both)
+        state["D"] = {"prev_vd": z("D"), "prev_id": z("D"),
+                      "prev_charge": z("D"), "ic0": z("D"), "hist": z("D")}
     if "M" in cc.idx:
+        # ic*/hist: committed Meyer-charge currents + first-step flag for the
+        # trapezoidal companions (physics; compat never commits)
         state["M"] = {
             "qgs": z("M"), "qgd": z("M"), "qgb": z("M"), "qbs": z("M"), "qbd": z("M"),
+            "icgs": z("M"), "icgd": z("M"), "icgb": z("M"), "icbs": z("M"),
+            "icbd": z("M"), "hist": z("M"),
         }
     if "Q" in cc.idx:
         state["Q"] = {"qbe": z("Q"), "qbc": z("Q")}
@@ -89,9 +97,11 @@ def make_op_seed(cc):
             nodes = cc.idx["D"]["nodes"]
             pd = params["D"]
             vd = x[nodes[:, 0]] - x[nodes[:, 1]]
-            id_, _ = diode_model.dc_eval(pd, vd, 300.15)
+            id_, _ = diode_model.dc_eval_physics(pd, vd, 300.15)
             new["D"] = {"prev_vd": vd, "prev_id": id_,
-                        "prev_charge": pd["tt"] * id_}
+                        "prev_charge": pd["tt"] * id_,
+                        "ic0": jnp.zeros_like(id_),
+                        "hist": state["D"]["hist"]}
         return new
 
     return seed
@@ -201,11 +211,22 @@ def make_commit(cc, semantics: str = "compat", integration: str = "be",
             nodes = cc.idx["D"]["nodes"]
             pd = params["D"]
             vd = x[nodes[:, 0]] - x[nodes[:, 1]]
-            id_, _ = diode_model.dc_eval(pd, vd, 300.15)
+            # physics eval (Rs/Bv) so the committed memory matches the stamp
+            id_, _ = diode_model.dc_eval_physics(pd, vd, temp)
+            st = state["D"]
+            q_new = pd["tt"] * id_
+            if trap:
+                dq = q_new - st["prev_charge"]
+                ic_new = jnp.where(st["hist"] > 0,
+                                   2.0 * dq / dt - st["ic0"], dq / dt)
+            else:
+                ic_new = (q_new - st["prev_charge"]) / dt
             new["D"] = {
                 "prev_vd": vd,
                 "prev_id": id_,
-                "prev_charge": pd["tt"] * id_,
+                "prev_charge": q_new,
+                "ic0": ic_new,
+                "hist": jnp.ones_like(st["hist"]),
             }
 
         if "M" in cc.idx and not compat:
@@ -215,7 +236,23 @@ def make_commit(cc, semantics: str = "compat", integration: str = "be",
             vgs, vds, vbs = mos_model.terminal_voltages(pmo, x, nodes)
             ev = mos_model.dc_eval(pmo, level, vgs, vds, vbs)
             qgs, qgd, qgb, qbs, qbd = mos_model.charges(pmo, ev, vgs, vds, vbs)
-            new["M"] = {"qgs": qgs, "qgd": qgd, "qgb": qgb, "qbs": qbs, "qbd": qbd}
+            stm = state["M"]
+
+            def ic_new(q, qk, ik):
+                dq = (q - stm[qk]) / dt
+                if trap:
+                    return jnp.where(stm["hist"] > 0, 2.0 * dq - stm[ik], dq)
+                return dq
+
+            new["M"] = {
+                "qgs": qgs, "qgd": qgd, "qgb": qgb, "qbs": qbs, "qbd": qbd,
+                "icgs": ic_new(qgs, "qgs", "icgs"),
+                "icgd": ic_new(qgd, "qgd", "icgd"),
+                "icgb": ic_new(qgb, "qgb", "icgb"),
+                "icbs": ic_new(qbs, "qbs", "icbs"),
+                "icbd": ic_new(qbd, "qbd", "icbd"),
+                "hist": jnp.ones_like(stm["hist"]),
+            }
 
         return new
 

@@ -361,8 +361,25 @@ def _assemble_acc(
                 id_, gd = diode_model.dc_eval(pd, vd, temp)
             if tran:
                 charge = pd["tt"] * id_
-                cap_cur = jnp.where(dt > 0, (charge - state["D"]["prev_charge"]) / dt, 0.0)
-                geq = jnp.where(dt > 0, pd["tt"] * gd / dt, 0.0)
+                if semantics == "physics" and integration == "trap":
+                    # trapezoidal diffusion-charge companion (2nd order):
+                    # icap = (2/dt)(q - q_prev) - icap_prev, geq = 2·Tt·gd/dt;
+                    # first committed step runs BE like the C/L companions
+                    std = state["D"]
+                    started = std["hist"] > 0
+                    dq = charge - std["prev_charge"]
+                    cap_cur = jnp.where(
+                        dt > 0,
+                        jnp.where(started, 2.0 * dq / dt - std["ic0"], dq / dt),
+                        0.0)
+                    geq = jnp.where(
+                        dt > 0,
+                        jnp.where(started, 2.0, 1.0) * pd["tt"] * gd / dt,
+                        0.0)
+                else:
+                    cap_cur = jnp.where(
+                        dt > 0, (charge - state["D"]["prev_charge"]) / dt, 0.0)
+                    geq = jnp.where(dt > 0, pd["tt"] * gd / dt, 0.0)
                 gd = gd + geq
                 id_ = id_ + cap_cur
             _two_node_pattern(acc, nodes, gd)
@@ -423,11 +440,29 @@ def _assemble_acc(
             if tran:
                 qgs, qgd, qgb, qbs, qbd = mos_model.charges(pmo, ev, vgs, vds, vbs)
                 stm = state["M"]
-                icgs = (qgs - stm["qgs"]) / dt
-                icgd = (qgd - stm["qgd"]) / dt
-                icgb = (qgb - stm["qgb"]) / dt
-                icbs = (qbs - stm["qbs"]) / dt
-                icbd = (qbd - stm["qbd"]) / dt
+                if semantics == "physics" and integration == "trap":
+                    # trapezoidal Meyer-charge companions (2nd order), BE on
+                    # the first committed step — same shape as the diode Tt
+                    # and capacitor companions above
+                    started = stm["hist"] > 0
+                    cfac = jnp.where(started, 2.0, 1.0)
+
+                    def icap(q, qk, ik):
+                        dq = (q - stm[qk]) / dt
+                        return jnp.where(started, 2.0 * dq - stm[ik], dq)
+
+                    icgs = icap(qgs, "qgs", "icgs")
+                    icgd = icap(qgd, "qgd", "icgd")
+                    icgb = icap(qgb, "qgb", "icgb")
+                    icbs = icap(qbs, "qbs", "icbs")
+                    icbd = icap(qbd, "qbd", "icbd")
+                else:
+                    cfac = 1.0
+                    icgs = (qgs - stm["qgs"]) / dt
+                    icgd = (qgd - stm["qgd"]) / dt
+                    icgb = (qgb - stm["qgb"]) / dt
+                    icbs = (qbs - stm["qbs"]) / dt
+                    icbd = (qbd - stm["qbd"]) / dt
                 # the reference nests these stamps inside ground checks of the
                 # *other* terminal (mosfet.go:744-782) — RHS values are masked
                 # to match; matrix entries into row/col 0 are inert anyway.
@@ -436,18 +471,18 @@ def _assemble_acc(
                 m_ns = (ns != 0).astype(jnp.float64)
                 m_nb = (nb != 0).astype(jnp.float64)
 
-                acc.add(ng, nd, ev.cgd / dt)
-                acc.add(nd, ng, ev.cgd / dt)
-                acc.add(ng, ns, ev.cgs / dt)
-                acc.add(ns, ng, ev.cgs / dt)
-                acc.add(ng, nb, ev.cgb / dt)
-                acc.add(nb, ng, ev.cgb / dt)
-                acc.add(ng, ng, (ev.cgd + ev.cgs + ev.cgb) / dt)
-                acc.add(nb, ns, ev.cbs_eff / dt)
-                acc.add(ns, nb, ev.cbs_eff / dt)
-                acc.add(nb, nd, ev.cbd_eff / dt)
-                acc.add(nd, nb, ev.cbd_eff / dt)
-                acc.add(nb, nb, (ev.cbd_eff + ev.cbs_eff) / dt)
+                acc.add(ng, nd, cfac * ev.cgd / dt)
+                acc.add(nd, ng, cfac * ev.cgd / dt)
+                acc.add(ng, ns, cfac * ev.cgs / dt)
+                acc.add(ns, ng, cfac * ev.cgs / dt)
+                acc.add(ng, nb, cfac * ev.cgb / dt)
+                acc.add(nb, ng, cfac * ev.cgb / dt)
+                acc.add(ng, ng, cfac * (ev.cgd + ev.cgs + ev.cgb) / dt)
+                acc.add(nb, ns, cfac * ev.cbs_eff / dt)
+                acc.add(ns, nb, cfac * ev.cbs_eff / dt)
+                acc.add(nb, nd, cfac * ev.cbd_eff / dt)
+                acc.add(nd, nb, cfac * ev.cbd_eff / dt)
+                acc.add(nb, nb, cfac * (ev.cbd_eff + ev.cbs_eff) / dt)
 
                 acc.add_rhs(ng, icgd * m_nd)
                 acc.add_rhs(nd, -icgd * m_ng)

@@ -43,7 +43,7 @@ def run_deck(name):
         deck = f.read()
     cc = compile_circuit(parse(deck))
     tp = cc.netlist.tran
-    if tp is None:
+    if tp is None or tp.tstop <= 0 or tp.tstep <= 0:
         return f"{name}: SKIP (no .tran card)"
     cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic)
     state0 = init_state(cc)

@@ -41,7 +41,9 @@ def run_stage(title, cmd, timeout=1500):
                                timeout=timeout, env=env)
         except subprocess.TimeoutExpired:
             return False, f"TIMEOUT after {timeout}s"
-        tail = "\n".join((r.stdout + r.stderr).strip().splitlines()[-25:])
+        lines = [ln for ln in (r.stdout + r.stderr).strip().splitlines()
+                 if "WARNING" not in ln and "Platform 'axon'" not in ln]
+        tail = "\n".join(lines[-25:])
         if r.returncode == 0:
             return True, tail
         if attempt == 1:

@@ -14,10 +14,13 @@ test:
 	python -m pytest tests/ -q
 
 test-slow:
-	python -m pytest tests/ -q -m slow
+	python -m pytest tests/ -q -m "slow and not heavy"
+
+test-heavy:
+	python -m pytest tests/ -q -m heavy
 
 test-all:
-	python -m pytest tests/ -q -m "slow or not slow"
+	python -m pytest tests/ -q -m "(slow or not slow) and not heavy"
 
 bench:
 	python bench.py

@@ -11,6 +11,14 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
+# CPU emulation of the in-kernel Newton (impl=xla / interpret) costs 10-20+
+# minutes of XLA CPU compile PER DECK for BJT/MOSFET/diode bodies on this
+# one-core box.  Those tests carry `heavy` on top of `slow`: run them
+# file-by-file when touching the kernel, or rely on the authoritative
+# on-TPU A/B (tests/tools/ab_fused_tran.py — 12 decks, ~6 min, exact
+# trajectory parity) which covers the same claims on real hardware.
+heavy = pytest.mark.heavy
+
 import jax
 
 
@@ -276,11 +284,13 @@ def _compare_nl(deck, overrides=None, opts=_NL_OPTS, impl="xla"):
     return og, of
 
 
+@heavy
 def test_fused_diode_resistive():
     og, of = _compare_nl(D_RES)
     assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
 
 
+@heavy
 def test_fused_diode_rectifier_tt():
     rv = np.asarray(compile_circuit(parse(D_RECT)).params["R"]["value"])
     og, of = _compare_nl(D_RECT, {"R": {"value": rv[None, :] * [[1.0], [0.8]]}})
@@ -310,15 +320,18 @@ RC 1 3 1k
 """
 
 
+@heavy
 def test_fused_bjt_switch():
     og, of = _compare_nl(Q_SWITCH)
     assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
 
 
+@heavy
 def test_fused_bjt_pnp():
     _compare_nl(Q_PNP)
 
 
+@heavy
 def test_fused_bjt_diode_mixed():
     deck = """* BJT + diode in one deck: both jv families in-kernel
 .tran 10u 200u
@@ -367,16 +380,19 @@ M1 3 2 4 0 NM L=2u W=10u
 """
 
 
+@heavy
 def test_fused_mosfet_level1():
     og, of = _compare_nl(M_INV)
     assert "M" in og.jv
     assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
 
 
+@heavy
 def test_fused_mosfet_pmos_level3():
     _compare_nl(M_PMOS_L3)
 
 
+@heavy
 def test_fused_mosfet_level2_junction_caps():
     """Source degeneration makes vbs < 0 at times, exercising the reverse
     junction-cap df_pow branch; UCRIT/UEXP/VMAX exercise the level-2
@@ -384,6 +400,7 @@ def test_fused_mosfet_level2_junction_caps():
     _compare_nl(M_L2_CAPS)
 
 
+@heavy
 def test_fused_mosfet_diode_mixed():
     deck = """* MOSFET + diode sharing a system
 .tran 1u 20u
@@ -553,6 +570,7 @@ def test_fused_store_full_tstart():
     assert float(np.asarray(of.out_t)[0, 0]) >= 0.4e-3
 
 
+@heavy
 def test_fused_store_full_diode():
     rv = np.asarray(compile_circuit(parse(D_RES)).params["R"]["value"])
     _compare_store_full(D_RES, {"R": {"value": rv[None, :] * [[1.0], [0.9]]}},
@@ -568,6 +586,7 @@ D1 2 0 DM
 """
 
 
+@heavy
 def test_fused_diode_kernel_plumbing_interpret():
     """A handful of attempts through the REAL kernel path in interpret mode:
     validates the ref wrapper (jv in/out, extra xlte rows, active-mask dyn

@@ -293,7 +293,7 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                         "q_alphaf", "q_sign",
                         "q_vtef", "q_invvtef", "q_vcritf",
                         "q_vter", "q_invvter", "q_vcritr",
-                        "q_vbe0", "q_vbc0", "q_expdf", "q_expdr")}
+                        "q_vbe0", "q_vbc0")}
 
     mrow = {key: [const(L[key] + k) for k in range(nm_)]
             for key in ("m_sign", "m_vto", "m_gamma", "m_phi", "m_sqrtphi",
@@ -468,32 +468,22 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         qbd = qjunc(mrow["m_cbd"][km], vbd)
         return qgs, qgd, qgb, qbs, qbd
 
-    def q_exps(kq, vbe, vbc):
-        """The two Ebers-Moll exponentials, plus perturbed variants for the
-        numeric Jacobian SHARED from the same exps: exp(min((v+δ)/nVt, 40))
-        = e·exp(δ/nVt) while neither argument clamps (exp(δ/nVt) is the
-        constant q_expdf/q_expdr row), exp(40) when the perturbed argument
-        clamps.  Saves 4 of the 6 df_exp per Newton iteration; the shared
-        form differs from a direct exp only in the last df ulp, far inside
-        the loose numeric-Jacobian tolerance (tests/test_fused_tran.py)."""
-        a1r = _df_mul(*vbe, *qrow["q_invnfvt"][kq])
-        a2r = _df_mul(*vbc, *qrow["q_invnrvt"][kq])
-        e1 = df_exp(*_df_where(_df_gt(a1r, c40), c40, a1r))
-        e2 = df_exp(*_df_where(_df_gt(a2r, c40), c40, a2r))
-        e40 = _df_const(float(np.exp(40.0)), lanes)
-        a1p = _df_add(*a1r, *_df_mul(*d_c, *qrow["q_invnfvt"][kq]))
-        a2p = _df_add(*a2r, *_df_mul(*d_c, *qrow["q_invnrvt"][kq]))
-        e1p = _df_where(_df_gt(a1p, c40), e40,
-                        _df_mul(*e1, *qrow["q_expdf"][kq]))
-        e2q = _df_where(_df_gt(a2p, c40), e40,
-                        _df_mul(*e2, *qrow["q_expdr"][kq]))
-        return e1, e2, e1p, e2q
-
-    def q_currents(kq, vbe, vbc, e1, e2):
+    def q_currents(kq, vbe, vbc):
         """Ebers-Moll (ic, ib) — models/bjt.py currents() in double-float.
         qbinv = 1/qb = 1 - vbc·inv_vaf; the inv_* rows are 0 when the knob
         is off, making every factor collapse to the reference's untouched
-        branch algebraically (1·x, /1)."""
+        branch algebraically (1·x, /1).  NOTE: sharing the exponentials
+        between the nominal and δ-perturbed Jacobian evals (e·exp(δ/nVt))
+        was tried and REVERTED — it bought ~1% on TPU (the BJT body is
+        FLOP-bound elsewhere) and blew XLA CPU's compile of the impl=xla
+        parity path from ~2 min to >15 min (common-subexpression DAG across
+        the three evals explodes fusion)."""
+        a1 = _df_mul(*vbe, *qrow["q_invnfvt"][kq])
+        a1 = _df_where(_df_gt(a1, c40), c40, a1)
+        a2 = _df_mul(*vbc, *qrow["q_invnrvt"][kq])
+        a2 = _df_where(_df_gt(a2, c40), c40, a2)
+        e1 = df_exp(*a1)
+        e2 = df_exp(*a2)
         i_f = _df_mul(*qrow["q_sies"][kq], *_df_add(*e1, *_df_neg(one_df)))
         i_r = _df_mul(*qrow["q_sics"][kq], *_df_add(*e2, *_df_neg(one_df)))
         qbinv = _df_add(*one_df,
@@ -623,10 +613,9 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             vbe = _df_where(cold, qrow["q_vbe0"][kq], vbe_u)
             vbc = _df_where(cold, qrow["q_vbc0"][kq], vbc_u)
 
-            e1, e2, e1p, e2q = q_exps(kq, vbe, vbc)
-            ic0, ib0 = q_currents(kq, vbe, vbc, e1, e2)
-            icp, ibp = q_currents(kq, _df_add(*vbe, *d_c), vbc, e1p, e2)
-            icq, ibq = q_currents(kq, vbe, _df_add(*vbc, *d_c), e1, e2q)
+            ic0, ib0 = q_currents(kq, vbe, vbc)
+            icp, ibp = q_currents(kq, _df_add(*vbe, *d_c), vbc)
+            icq, ibq = q_currents(kq, vbe, _df_add(*vbc, *d_c))
             # x(1/δ) instead of /δ: 1/δ = 1e6 as a df const; same df noise
             # class as the division (models/bjt.py divides in f64)
             g11 = _df_mul(*_df_add(*icp, *_df_neg(ic0)), *d_inv)
@@ -1058,9 +1047,9 @@ def _layout(cc):
             "q_alphaf", "q_sign",
             "q_vtef", "q_invvtef", "q_vcritf",
             "q_vter", "q_invvter", "q_vcritr",
-            "q_vbe0", "q_vbc0", "q_expdf", "q_expdr")):
+            "q_vbe0", "q_vbc0")):
         L[key] = base_q + off * nq_
-    base_m = base_q + 20 * nq_
+    base_m = base_q + 18 * nq_
     # per-MOSFET attempt-invariant rows.  Precombined where the reference's
     # factors are all parameters (mosfet.go:358-459, 540-637): beta1=KP·W/L,
     # e2u=1/(tox·100·Ucrit) (0 when Ucrit<=0), b2u=Uo·Cox·W/(L·100),
@@ -1317,10 +1306,6 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 vte_f, 1.0 / vte_f, vcrit_fn(vte_f, pql["ies"]),
                 vte_r, 1.0 / vte_r, vcrit_fn(vte_r, pql["ics"]),
                 vbe0, vbc0,
-                # exp(delta/(n·Vt)) for the shared-exponential numeric
-                # Jacobian (see q_exps), exact XLA f64
-                jnp.exp(1e-6 / (pql["nf"] * vtq)),
-                jnp.exp(1e-6 / (pql["nr"] * vtq)),
             ])
         if nm_:
             pml = {k: _lanes(params["M"][k], nm_, bp)

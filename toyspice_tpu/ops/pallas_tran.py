@@ -785,7 +785,18 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
     zn = jnp.zeros((n,) + lanes, dtype=f32)
     init = (jnp.zeros(lanes, dtype=jnp.int32),
             (~act_mask).astype(jnp.int32), zn, zn, jv0_hi, jv0_lo)
-    k, conv, x_hi, x_lo, jvs_hi, jvs_lo = jax.lax.while_loop(cond, body, init)
+    # Check the cross-lane cond only every TOYSPICE_NR_UNROLL body passes:
+    # converged/inactive lanes are frozen per-lane inside body, so extra
+    # passes are no-ops on them and results are bit-identical.
+    nr_unroll = int(os.environ.get("TOYSPICE_NR_UNROLL", "1"))
+
+    def body_n(carry):
+        for _ in range(nr_unroll):
+            carry = body(carry)
+        return carry
+
+    k, conv, x_hi, x_lo, jvs_hi, jvs_lo = jax.lax.while_loop(
+        cond, body_n if nr_unroll > 1 else body, init)
     return x_hi, x_lo, k, conv > 0, jnp.stack([jvs_hi, jvs_lo])
 
 

@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat invocations (driver rounds, regress_tpu)
+# skip the ~30 s TPU engine compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import toyspice_tpu  # noqa: F401  (enables x64)
 from toyspice_tpu.compiler import compile_circuit
 from toyspice_tpu.netlist.parser import parse

@@ -98,8 +98,13 @@ def print_results(results, out=None):
         w("\n")
 
 
-def _run(src, engine: str):
+def _run(src, engine: str, semantics: str = "compat"):
     if engine in ("host", "host-native"):
+        if semantics != "compat":
+            raise RuntimeError(
+                "the host engines implement compat semantics only "
+                "(they are the reference-behavior parity oracle); "
+                "use --engine xla for --semantics physics")
         from .compiler import compile_circuit
         from .hostsim import run_host_analysis, set_solver
         from .netlist.parser import parse
@@ -107,7 +112,7 @@ def _run(src, engine: str):
         set_solver("native" if engine == "host-native" else "numpy")
         cc = src if not isinstance(src, str) else compile_circuit(parse(src))
         return run_host_analysis(cc)
-    return run_analysis(src)
+    return run_analysis(src, semantics=semantics)
 
 
 def main(argv=None):
@@ -133,6 +138,25 @@ def main(argv=None):
              "LU (native/sparse_lu.cc).",
     )
     parser.add_argument(
+        "--semantics",
+        choices=["compat", "physics"],
+        default="compat",
+        help="compat (default): reproduce the Go reference's observable "
+             "behavior, quirks included (PLAN.md).  physics: the corrected "
+             "variant (live J-A hysteresis, diode Rs/Bv, committed device "
+             "charge memory; combine with trapezoidal integration via the "
+             "library API).  xla engine only.",
+    )
+    parser.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax_debug_nans: abort with a traceback at the first "
+             "NaN-producing XLA op (slow; de-optimizes the jitted engines). "
+             "For debugging non-convergence, not for normal runs — the "
+             "rescue ladders legitimately pass through non-finite "
+             "intermediate solves.",
+    )
+    parser.add_argument(
         "--platform",
         choices=["cpu", "tpu", "auto"],
         default="cpu",
@@ -152,6 +176,10 @@ def main(argv=None):
         except Exception as e:  # backends already initialized elsewhere
             print(f"warning: could not select platform {args.platform}: {e}",
                   file=sys.stderr)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     try:
         with open(args.netlist) as f:
@@ -184,9 +212,9 @@ def main(argv=None):
                       "engine/batch.py)")
             else:
                 print(f"engine: {args.engine}")
-            results = _run(cc, args.engine)
+            results = _run(cc, args.engine, args.semantics)
         else:
-            results = _run(text, args.engine)
+            results = _run(text, args.engine, args.semantics)
     except Exception as e:
         print(f"Analysis failed: {e}", file=sys.stderr)
         return 1

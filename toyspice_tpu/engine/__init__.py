@@ -55,12 +55,13 @@ def _engine_cache(cc) -> dict:
     return cache
 
 
-def run_op(src, options: SimOptions = DEFAULTS) -> Results:
+def run_op(src, options: SimOptions = DEFAULTS,
+           semantics: str = "compat") -> Results:
     cc = _to_compiled(src)
     cache = _engine_cache(cc)
-    key = ("op", options)
+    key = ("op", options, semantics)
     if key not in cache:
-        op_execute, _ = make_op(cc, options)
+        op_execute, _ = make_op(cc, options, semantics=semantics)
         cache[key] = jax.jit(op_execute)
     params = _params(cc)
     state = init_state(cc)
@@ -121,7 +122,8 @@ def run_transient(src, tstart=None, tstop=None, tstep=None, tmax=None, uic=None,
 
 
 def run_ac(src, sweep=None, fstart=None, fstop=None, points=None,
-           options: SimOptions = DEFAULTS) -> Results:
+           options: SimOptions = DEFAULTS,
+           semantics: str = "compat") -> Results:
     cc = _to_compiled(src)
     ap = cc.netlist.ac
     freqs = frequency_points(
@@ -131,9 +133,9 @@ def run_ac(src, sweep=None, fstart=None, fstop=None, points=None,
         points if points is not None else ap.points,
     )
     cache = _engine_cache(cc)
-    key = ("ac", options)
+    key = ("ac", options, semantics)
     if key not in cache:
-        cache[key] = jax.jit(make_ac(cc, options))
+        cache[key] = jax.jit(make_ac(cc, options, semantics=semantics))
     ac_execute = cache[key]
     params = _params(cc)
     state = init_state(cc)
@@ -144,7 +146,8 @@ def run_ac(src, sweep=None, fstart=None, fstop=None, points=None,
 
 
 def run_dc(src, sources=None, starts=None, stops=None, increments=None,
-           options: SimOptions = DEFAULTS) -> Results:
+           options: SimOptions = DEFAULTS,
+           semantics: str = "compat") -> Results:
     cc = _to_compiled(src)
     dp = cc.netlist.dc
     if sources is None:
@@ -168,9 +171,10 @@ def run_dc(src, sources=None, starts=None, stops=None, increments=None,
         pts = np.asarray(sweeps[0], dtype=np.float64)
 
     cache = _engine_cache(cc)
-    key = ("dc", tuple(slots), options)
+    key = ("dc", tuple(slots), options, semantics)
     if key not in cache:
-        cache[key] = jax.jit(make_dc(cc, tuple(slots), options))
+        cache[key] = jax.jit(make_dc(cc, tuple(slots), options,
+                                     semantics=semantics))
     dc_execute = cache[key]
     params = _params(cc)
     state = init_state(cc)
@@ -181,14 +185,15 @@ def run_dc(src, sources=None, starts=None, stops=None, increments=None,
     return results_mod.from_dc(cc, pts, xs, nested=nested)
 
 
-def run_analysis(src) -> Results:
+def run_analysis(src, semantics: str = "compat",
+                 options: SimOptions = DEFAULTS) -> Results:
     cc = _to_compiled(src)
     if cc.analysis == AnalysisType.OP:
-        return run_op(cc)
+        return run_op(cc, options=options, semantics=semantics)
     if cc.analysis == AnalysisType.TRAN:
-        return run_transient(cc)
+        return run_transient(cc, semantics=semantics, options=options)
     if cc.analysis == AnalysisType.AC:
-        return run_ac(cc)
+        return run_ac(cc, options=options, semantics=semantics)
     if cc.analysis == AnalysisType.DC:
-        return run_dc(cc)
+        return run_dc(cc, options=options, semantics=semantics)
     raise RuntimeError(f"unsupported analysis type: {cc.analysis}")

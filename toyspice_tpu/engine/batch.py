@@ -111,18 +111,38 @@ def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
                         semantics: str = "compat", store: str = "none",
                         jit: bool = True, opts: SimOptions = DEFAULTS):
     """One-shot batched transient (builds the callable and invokes it; for
-    repeated invocation hold on to make_tran_batch's result instead)."""
+    repeated invocation hold on to make_tran_batch's result instead).
+
+    When the fused store='full' path truncates waveform rows (attempt-buffer
+    overflow on a reject-churn-heavy run) the per-lane flag
+    ``TranOutput.store_overflow`` records it; this one-shot runner checks it
+    host-side and warns — callers holding a jitted ``make_tran_batch``
+    result must check the flag themselves."""
     fn = make_tran_batch(cc, cfg, in_axes, semantics=semantics, store=store,
                          jit=jit, opts=opts, params=params)
-    return fn(params, state0)
+    out = fn(params, state0)
+    if store == "full" and out.store_overflow is not None:
+        import numpy as np
+
+        n_over = int(np.sum(np.asarray(out.store_overflow)))
+        if n_over:
+            import warnings
+
+            warnings.warn(
+                f"fused transient attempt buffer overflowed on {n_over} "
+                "instance(s): stored waveforms dropped accepted rows "
+                "(raise TOYSPICE_FUSED_STORE_ATTEMPTS, or check "
+                "TranOutput.store_overflow per lane)", RuntimeWarning,
+                stacklevel=2)
+    return out
 
 
 def run_op_batch(cc, params, in_axes, jit: bool = True,
-                 opts: SimOptions = DEFAULTS):
+                 opts: SimOptions = DEFAULTS, semantics: str = "compat"):
     """vmapped operating point: each instance runs the full NR + rescue
     ladders on its own parameters.  Returns the batched OPResult
     (x: (B, np1), converged: (B,))."""
-    op_execute, _ = make_op(cc, opts)
+    op_execute, _ = make_op(cc, opts, semantics=semantics)
     state0 = init_state(cc)
     fn = jax.vmap(lambda p: op_execute(p, state0), in_axes=(in_axes,))
     if jit:
@@ -131,10 +151,10 @@ def run_op_batch(cc, params, in_axes, jit: bool = True,
 
 
 def run_ac_batch(cc, params, in_axes, freqs, jit: bool = True,
-                 opts: SimOptions = DEFAULTS):
+                 opts: SimOptions = DEFAULTS, semantics: str = "compat"):
     """vmapped AC: per-instance bias point + frequency sweep.  Returns
     (xr, xi, opr) with leading batch axes; xr/xi are (B, F, np1)."""
-    ac_execute = make_ac(cc, opts)
+    ac_execute = make_ac(cc, opts, semantics=semantics)
     state0 = init_state(cc)
     fn = jax.vmap(lambda p: ac_execute(p, state0, freqs), in_axes=(in_axes,))
     if jit:
@@ -143,10 +163,10 @@ def run_ac_batch(cc, params, in_axes, freqs, jit: bool = True,
 
 
 def run_dc_batch(cc, src_slots, params, in_axes, points, jit: bool = True,
-                 opts: SimOptions = DEFAULTS):
+                 opts: SimOptions = DEFAULTS, semantics: str = "compat"):
     """vmapped DC sweep.  Returns (xs, conv) with leading batch axes;
     xs is (B, P, np1)."""
-    dc_execute = make_dc(cc, src_slots, opts)
+    dc_execute = make_dc(cc, src_slots, opts, semantics=semantics)
     state0 = init_state(cc)
     fn = jax.vmap(lambda p: dc_execute(p, state0, points), in_axes=(in_axes,))
     if jit:

@@ -54,8 +54,13 @@ def update_jv(cc, params, x, jv_prev: Dict, limit: bool = True,
                 # breakdown-frame limiting (SPICE3F5 diode.c): Newton on the
                 # clamped reverse exponential otherwise advances ~1 nVt per
                 # iteration; limit -(Bv+vd) exactly like a forward junction.
+                # Gate on the NEW voltage only (SPICE3F5 gates on
+                # vd < min(0, -bv+10·vte)): if the new vd jumps from
+                # breakdown to forward bias, the forward pnjlim result must
+                # win — frame-mapping a positive -(bv+vd) through pnjlim
+                # would pass the jump through unlimited.
                 vd_old = jv_prev["D"]["vd"]
-                in_bkd = (vd < -pd["bv"]) | (vd_old < -pd["bv"])
+                in_bkd = vd < jnp.minimum(0.0, -pd["bv"] + 10.0 * vte)
                 vbk = pnjlim(-(pd["bv"] + vd), -(pd["bv"] + vd_old), vte, vc)
                 vlim = jnp.where(in_bkd, -pd["bv"] - vbk, vlim)
             vd = vlim

@@ -64,7 +64,7 @@ def init_state(cc) -> Dict:
     return state
 
 
-def make_op_seed(cc):
+def make_op_seed(cc, temp: float = 300.15):
     """Seed the committed state from an operating-point solution.
 
     physics-mode non-UIC transients start from the bias point: a DC-charged
@@ -73,7 +73,10 @@ def make_op_seed(cc):
     C·V/dt current spike on the first step).  compat mode intentionally
     keeps the zero state — that IS the reference behavior (its devices never
     see the OP solution, circuit.go:192-224).  hist stays 0 so trapezoidal
-    runs still take their first step as BE."""
+    runs still take their first step as BE.  ``temp`` must be the stamp
+    temperature (opts.temp): seeding the diode charge at a different
+    temperature would inject a spurious first-step diffusion current
+    dq = q(temp) - q(seed_temp)."""
 
     def seed(params, state, x):
         new = dict(state)
@@ -97,7 +100,7 @@ def make_op_seed(cc):
             nodes = cc.idx["D"]["nodes"]
             pd = params["D"]
             vd = x[nodes[:, 0]] - x[nodes[:, 1]]
-            id_, _ = diode_model.dc_eval_physics(pd, vd, 300.15)
+            id_, _ = diode_model.dc_eval_physics(pd, vd, temp)
             new["D"] = {"prev_vd": vd, "prev_id": id_,
                         "prev_charge": pd["tt"] * id_,
                         "ic0": jnp.zeros_like(id_),

@@ -96,7 +96,7 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
                  semantics=semantics, opts=opts)
     op_execute, _ = make_op(cc, opts, semantics=semantics)
     commit = make_commit(cc, semantics, opts.integration, opts.temp)
-    op_seed = make_op_seed(cc)
+    op_seed = make_op_seed(cc, opts.temp)
     lte_fn = make_lte(cc)
     physics = semantics == "physics"
 

@@ -60,7 +60,7 @@ def make_mesh_2d(shape, axes=("data", "sweep")) -> Mesh:
 
 def run_ac_sharded(cc, mesh: Mesh, params, in_axes, freqs,
                    batch_axis: str = "data", sweep_axis: str = "sweep",
-                   opts=None):
+                   opts=None, semantics: str = "compat"):
     """Batched AC over a 2-D mesh: Monte-Carlo instances shard over the
     batch axis, the frequency grid over the sweep axis — the circuit-domain
     analog of combining data parallelism with sequence/sweep parallelism.
@@ -70,7 +70,8 @@ def run_ac_sharded(cc, mesh: Mesh, params, in_axes, freqs,
     from ..engine.options import DEFAULTS
     from ..engine.state import init_state
 
-    ac_execute = make_ac(cc, opts if opts is not None else DEFAULTS)
+    ac_execute = make_ac(cc, opts if opts is not None else DEFAULTS,
+                         semantics=semantics)
     state0 = init_state(cc)
     sharded_params = shard_batch(mesh, params, in_axes, batch_axis)
     freqs = jax.device_put(freqs, NamedSharding(mesh, P(sweep_axis)))
@@ -83,14 +84,15 @@ def run_ac_sharded(cc, mesh: Mesh, params, in_axes, freqs,
 
 
 def run_op_sharded(cc, mesh: Mesh, params, in_axes, axis: str = "data",
-                   opts=None):
+                   opts=None, semantics: str = "compat"):
     """Batched operating point sharded over the mesh's batch axis.  Each
     instance runs the full NR + rescue ladders on its own shard; there is no
     cross-instance communication (instances are embarrassingly parallel)."""
     from ..engine.op import make_op
     from ..engine.options import DEFAULTS
 
-    op_execute, _ = make_op(cc, opts if opts is not None else DEFAULTS)
+    op_execute, _ = make_op(cc, opts if opts is not None else DEFAULTS,
+                            semantics=semantics)
     state0 = init_state(cc)
     sharded_params = shard_batch(mesh, params, in_axes, axis)
     fn = jax.jit(jax.vmap(lambda p: op_execute(p, state0),
@@ -99,7 +101,7 @@ def run_op_sharded(cc, mesh: Mesh, params, in_axes, axis: str = "data",
 
 
 def run_dc_sharded(cc, src_slots, mesh: Mesh, params, in_axes, points,
-                   axis: str = "data", opts=None):
+                   axis: str = "data", opts=None, semantics: str = "compat"):
     """Batched DC sweep sharded over the mesh's batch axis.  The sweep-point
     dimension stays sequential per instance (each point warm-starts Newton
     from the previous solution — dc.py's scan — so, unlike AC frequencies,
@@ -109,7 +111,8 @@ def run_dc_sharded(cc, src_slots, mesh: Mesh, params, in_axes, points,
     from ..engine.dc import make_dc
     from ..engine.options import DEFAULTS
 
-    dc_execute = make_dc(cc, src_slots, opts if opts is not None else DEFAULTS)
+    dc_execute = make_dc(cc, src_slots, opts if opts is not None else DEFAULTS,
+                         semantics=semantics)
     state0 = init_state(cc)
     sharded_params = shard_batch(mesh, params, in_axes, axis)
     points = jax.device_put(jnp.asarray(points), NamedSharding(mesh, P()))
@@ -119,19 +122,41 @@ def run_dc_sharded(cc, src_slots, mesh: Mesh, params, in_axes, points,
 
 
 def run_transient_sharded(cc, cfg: TranConfig, mesh: Mesh, params, in_axes,
-                          semantics: str = "compat", axis: str = "data"):
+                          semantics: str = "compat", axis: str = "data",
+                          store: str = "none", opts=None):
     """One compiled, mesh-sharded batched transient.  Returns the batched
-    TranOutput plus the ICI-psum'd aggregate accepted-step count."""
-    tran = make_tran(cc, cfg, semantics=semantics, store="none")
+    TranOutput plus the ICI-psum'd aggregate accepted-step count.
+
+    Dispatches through ``select_tran_engine`` exactly like the single-chip
+    batch API, so an eligible compat/BE run gets the fused Pallas kernel on
+    every shard (the per-shard engine is identical; only the lane slice
+    differs).  ``shard_map`` gives each device its own slice of the batch —
+    the per-shard while_loop terminates on LOCAL lane completion, so no
+    cross-chip sync happens per attempt; the only collective is the final
+    accepted-step ``psum`` over ICI."""
+    from ..engine.batch import select_tran_engine
+    from ..engine.options import DEFAULTS
+
+    opts = opts if opts is not None else DEFAULTS
+    engine, reason, fn = select_tran_engine(
+        cc, cfg, in_axes, semantics=semantics, store=store, opts=opts,
+        params=params)
     state0 = init_state(cc)
     sharded_params = shard_batch(mesh, params, in_axes, axis)
 
-    vfn = jax.vmap(tran, in_axes=(in_axes, None))
+    pspec = jax.tree_util.tree_map(
+        lambda ax: P(axis) if ax == 0 else P(), in_axes,
+        is_leaf=lambda x: x is None or x == 0)
+    sspec = jax.tree_util.tree_map(lambda _: P(), state0)
 
-    @jax.jit
     def step(p, s):
-        out = vfn(p, s)
-        return out, jnp.sum(out.accepted)
+        out = fn(p, s)
+        return out, jax.lax.psum(jnp.sum(out.accepted), axis)
 
-    out, total = step(sharded_params, state0)
+    sfn = jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(pspec, sspec), out_specs=(P(axis), P()),
+        check_vma=False))
+    out, total = sfn(sharded_params, state0)
+    run_transient_sharded.last_engine = engine
+    run_transient_sharded.last_reason = reason
     return out, total

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Per-class TPU benchmark matrix: one JSON artifact with a throughput row
+for every device class and analysis the reference produces waveforms for
+(tran.go:141-143, ac.go:51-98, dc.go:88-140) — the per-class evidence the
+single rlc headline number (bench.py) can't carry.
+
+Rows (all on reference fixture decks, Monte-Carlo batched):
+  transient  rlc (linear), diode2, bjt2, mosfet1, transformer3 (J-A compat)
+             x store='none'; rlc additionally with store='full' waveforms
+  AC         bjt3 batched bias + frequency sweep
+  DC sweep   diode3 batched I-V sweep
+
+Writes BENCH_MATRIX.json and prints one JSON line per row.  Timing protocol
+per CLAUDE.md: one process, persistent compile cache, values fetched inside
+the timed region (block_until_ready returns early on the tunneled TPU).
+
+Run:  python bench_matrix.py            (~3-4 min warm-cache)
+      BENCH_MATRIX_BATCH=1024 python bench_matrix.py   (quick smoke)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+import toyspice_tpu  # noqa: F401  (enables x64)
+from toyspice_tpu.compiler import compile_circuit
+from toyspice_tpu.netlist.parser import parse
+from toyspice_tpu.engine.ac import frequency_points
+from toyspice_tpu.engine.batch import (batch_params, make_tran_batch,
+                                       run_ac_batch, run_dc_batch)
+from toyspice_tpu.engine.dc import sweep_values
+from toyspice_tpu.engine.state import init_state
+from toyspice_tpu.engine.tran import build_config
+
+CIRCUITS = "/root/reference/circuits"
+BATCH = int(os.environ.get("BENCH_MATRIX_BATCH", 8192))
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "BENCH_MATRIX.json")
+
+
+def _load(deck):
+    with open(os.path.join(CIRCUITS, deck)) as f:
+        return compile_circuit(parse(f.read()))
+
+
+def _perturbed(cc, batch, spread=0.05, seed=0):
+    """Log-normal R/C/L spread: per-instance dt trajectories genuinely
+    diverge, so this is not a lockstep-identical rerun."""
+    rng = np.random.default_rng(seed)
+    overrides = {}
+    for kind in ("R", "C", "L"):
+        if kind in cc.params:
+            base = np.asarray(cc.params[kind]["value"])[None, :]
+            overrides[kind] = {"value": base * np.exp(
+                rng.normal(0.0, spread, (batch, base.shape[1])))}
+    return batch_params(cc, overrides)
+
+
+def bench_tran(deck, store="none", batch=BATCH):
+    cc = _load(deck)
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic)
+    params, axes = _perturbed(cc, batch)
+    state0 = init_state(cc)
+    fn = make_tran_batch(cc, cfg, axes, store=store, params=params)
+    out = fn(params, state0)  # compile + warm
+    _ = int(np.sum(np.asarray(out.accepted)))
+    t0 = time.perf_counter()
+    out = fn(params, state0)
+    steps = int(np.sum(np.asarray(out.accepted)))
+    if store == "full":
+        # waveforms are the product: force their materialization too
+        _ = np.asarray(out.out_t[:, -1])
+        _ = float(np.asarray(out.out_x[:, 0, :]).sum())
+    wall = time.perf_counter() - t0
+    fails = int(np.sum(np.asarray(out.fail)))
+    row = {
+        "analysis": "tran", "deck": deck, "store": store, "batch": batch,
+        "engine": getattr(fn, "engine", "?"),
+        "agg_steps_per_s": steps / wall, "wall_s": wall,
+        "total_accepted_steps": steps, "failed_instances": fails,
+    }
+    if store == "full" and out.store_overflow is not None:
+        row["store_overflow_instances"] = int(
+            np.sum(np.asarray(out.store_overflow)))
+    return row
+
+
+def bench_ac(deck="bjt3.cir", batch=BATCH):
+    cc = _load(deck)
+    ap = cc.netlist.ac
+    freqs = jnp.asarray(frequency_points(ap.sweep, ap.fstart, ap.fstop,
+                                         ap.points))
+    params, axes = _perturbed(cc, batch)
+    xr, xi, opr = run_ac_batch(cc, params, axes, freqs)  # compile + warm
+    _ = float(np.asarray(xr).sum())
+    t0 = time.perf_counter()
+    xr, xi, opr = run_ac_batch(cc, params, axes, freqs)
+    _ = float(np.asarray(xr).sum()) + float(np.asarray(xi).sum())
+    wall = time.perf_counter() - t0
+    nf = int(freqs.shape[0])
+    return {
+        "analysis": "ac", "deck": deck, "batch": batch, "freq_points": nf,
+        "agg_solves_per_s": batch * nf / wall, "wall_s": wall,
+        "unconverged_bias": int(batch - np.sum(np.asarray(opr.converged))),
+    }
+
+
+def bench_dc(deck="diode3.cir", batch=BATCH):
+    cc = _load(deck)
+    dp = cc.netlist.dc
+    pts = jnp.asarray(sweep_values(dp.start1, dp.stop1, dp.increment1))
+    slots = (cc.names["V"].index(dp.source1),)
+    params, axes = _perturbed(cc, batch)
+    xs, conv = run_dc_batch(cc, slots, params, axes, pts)  # compile + warm
+    _ = float(np.asarray(xs).sum())
+    t0 = time.perf_counter()
+    xs, conv = run_dc_batch(cc, slots, params, axes, pts)
+    _ = float(np.asarray(xs).sum())
+    wall = time.perf_counter() - t0
+    npts = int(pts.shape[0])
+    return {
+        "analysis": "dc", "deck": deck, "batch": batch, "sweep_points": npts,
+        "agg_points_per_s": batch * npts / wall, "wall_s": wall,
+        "unconverged_points": int(batch * npts
+                                  - np.sum(np.asarray(conv))),
+    }
+
+
+def main():
+    rows = []
+
+    def run(label, fn, *a, **k):
+        t0 = time.perf_counter()
+        try:
+            row = fn(*a, **k)
+        except Exception as e:  # noqa: BLE001 - record and continue the matrix
+            row = {"analysis": label, "error": f"{type(e).__name__}: {e}"}
+        row["bench_wall_s"] = time.perf_counter() - t0
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    run("tran", bench_tran, "rlc.cir", "none")
+    run("tran", bench_tran, "rlc.cir", "full",
+        batch=min(BATCH, int(os.environ.get("BENCH_MATRIX_FULL_BATCH", 1024))))
+    run("tran", bench_tran, "diode2.cir", "none")
+    run("tran", bench_tran, "bjt2.cir", "none")
+    run("tran", bench_tran, "mosfet1.cir", "none")
+    run("tran", bench_tran, "transformer3.cir", "none")
+    run("ac", bench_ac)
+    run("dc", bench_dc)
+
+    doc = {
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "device": str(jax.devices()[0]),
+        "batch": BATCH,
+        "results": rows,
+    }
+    with open(OUT, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {OUT}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -581,29 +581,9 @@ class BJT(Dev):
         self.vbc = pnjlim(vbc, self.vbc, vte_r, vcrit_r)
         self.vce = self.vbe - self.vbc
 
-    def _currents(self, vbe, vbc, temp):
-        p = self.p
-        vt = vt_of(temp)
-        sign = p["sign"]
-        exp_vbe = math.exp(min(vbe / (p["nf"] * vt), 40.0))
-        exp_vbc = math.exp(min(vbc / (p["nr"] * vt), 40.0))
-        i_f = sign * p["ies"] * (exp_vbe - 1)
-        i_r = sign * p["ics"] * (exp_vbc - 1)
-        if p["vaf"] > 0:
-            i_f = i_f * (1 - vbc / p["vaf"])
-        if p["var"] > 0:
-            i_r = i_r * (1 + vbe / p["var"])
-        qb = 1.0 / (1 - vbc / p["vaf"]) if p["vaf"] > 0 else 1.0
-        if p["ikf"] > 0:
-            i_f = i_f / (1 + abs(i_f) / (p["ikf"] * qb))
-        if p["ikr"] > 0:
-            i_r = i_r / (1 + abs(i_r) / (p["ikr"] * qb))
-        ie = sign * (i_f - i_r)
-        ic = sign * ((p["alphaf"] * i_f - i_r) / qb)
-        return ic, ie - ic
-
     def _jacobian(self, temp):
-        """Consistent numeric Jacobian — same deviation as the engine
+        """Consistent analytic Jacobian — the identical derivative chain
+        (same operation order, so bit-comparable in f64) as the engine
         (models/bjt.py jacobian)."""
         p = self.p
         vt = vt_of(temp)
@@ -611,12 +591,53 @@ class BJT(Dev):
             self.vbe = p["nf"] * vt * math.log(1e-3 / p["ies"])
             self.vce = max(2.0, self.vbe + 1.0)
             self.vbc = self.vbe - self.vce
-        d = 1e-6
-        ic0, ib0 = self._currents(self.vbe, self.vbc, temp)
-        icp, ibp = self._currents(self.vbe + d, self.vbc, temp)
-        icq, ibq = self._currents(self.vbe, self.vbc + d, temp)
-        return (ic0, ib0, (icp - ic0) / d, (icq - ic0) / d,
-                (ibp - ib0) / d, (ibq - ib0) / d)
+        vbe, vbc = self.vbe, self.vbc
+        sign = p["sign"]
+        invnfvt = 1.0 / (p["nf"] * vt)
+        invnrvt = 1.0 / (p["nr"] * vt)
+        a1 = vbe * invnfvt
+        a2 = vbc * invnrvt
+        e1 = math.exp(min(a1, 40.0))
+        e2 = math.exp(min(a2, 40.0))
+        invvaf = 1.0 / p["vaf"] if p["vaf"] > 0 else 0.0
+        invvar = 1.0 / p["var"] if p["var"] > 0 else 0.0
+        invikf = 1.0 / p["ikf"] if p["ikf"] > 0 else 0.0
+        invikr = 1.0 / p["ikr"] if p["ikr"] > 0 else 0.0
+        f0 = sign * p["ies"] * (e1 - 1.0)
+        r0 = sign * p["ics"] * (e2 - 1.0)
+        df0 = sign * p["ies"] * e1 * invnfvt if a1 <= 40.0 else 0.0
+        dr0 = sign * p["ics"] * e2 * invnrvt if a2 <= 40.0 else 0.0
+        u = 1.0 - vbc * invvaf
+        wv = 1.0 + vbe * invvar
+        f1 = f0 * u
+        r1 = r0 * wv
+        df1_be = df0 * u
+        df1_bc = -f0 * invvaf
+        dr1_be = r0 * invvar
+        dr1_bc = dr0 * wv
+        sf = 1.0 if f1 > 0.0 else (-1.0 if f1 < 0.0 else 0.0)
+        sr = 1.0 if r1 > 0.0 else (-1.0 if r1 < 0.0 else 0.0)
+        den_f = 1.0 + abs(f1) * invikf * u
+        den_r = 1.0 + abs(r1) * invikr * u
+        f2 = f1 / den_f
+        r2 = r1 / den_r
+        ddenf_be = sf * df1_be * invikf * u
+        ddenf_bc = sf * df1_bc * invikf * u - abs(f1) * invikf * invvaf
+        ddenr_be = sr * dr1_be * invikr * u
+        ddenr_bc = sr * dr1_bc * invikr * u - abs(r1) * invikr * invvaf
+        df2_be = (df1_be - f2 * ddenf_be) / den_f
+        df2_bc = (df1_bc - f2 * ddenf_bc) / den_f
+        dr2_be = (dr1_be - r2 * ddenr_be) / den_r
+        dr2_bc = (dr1_bc - r2 * ddenr_bc) / den_r
+        af = p["alphaf"]
+        ic0 = sign * (af * f2 - r2) * u
+        ie0 = sign * (f2 - r2)
+        ib0 = ie0 - ic0
+        g11 = sign * (af * df2_be - dr2_be) * u
+        g12 = sign * ((af * df2_bc - dr2_bc) * u - (af * f2 - r2) * invvaf)
+        g21 = sign * (df2_be - dr2_be) - g11
+        g22 = sign * (df2_bc - dr2_bc) - g12
+        return ic0, ib0, g11, g12, g21, g22
 
     def _caps(self, gm, temp):
         p = self.p

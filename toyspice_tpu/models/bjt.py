@@ -57,29 +57,73 @@ def currents(p, vbe, vbc, temp):
     return ic, ib
 
 
-_DELTA = 1e-6
-
-
 def jacobian(p, vbe, vbc, temp):
-    """Consistent Norton linearization of (ic, ib) wrt (vbe, vbc) by numeric
-    differencing (the reference's own technique for MOSFET levels 2/3,
-    mosfet.go:517-532).
+    """Closed-form consistent Norton linearization of (ic, ib) wrt
+    (vbe, vbc): the exact derivative chain of ``currents`` above —
+    Shockley exponentials (zero slope in the clamped region), Early factors,
+    and the quotient rule through the Ikf/Ikr knee roll-off.
 
     Deviation (PLAN.md 10, extended): the reference's hand-written BJT stamp
     (bjt.go:344-373) is NOT the Jacobian of its own current equations — the
     base row couples gpi to the collector instead of the emitter and the
     emitter RHS drops the linearization terms — and Newton limit-cycles on
-    bjt1.cir even with junction limiting.  We stamp the exact Jacobian of the
-    same equations instead; the nonlinear solution (what a fixed reference
-    would produce) is identical.
+    bjt1.cir even with junction limiting.  The reference's analytic
+    gm/gpi/gout (bjt.go:257-281) are likewise inconsistent with its own
+    knee/Early algebra.  We stamp the exact Jacobian of the same current
+    equations instead (rounds 1-2 used numeric differencing; this closed
+    form replaces it — it is what the fused kernel computes at a third of
+    the exponential count, and the Newton fixed point is unchanged).
     """
-    ic0, ib0 = currents(p, vbe, vbc, temp)
-    icp, ibp = currents(p, vbe + _DELTA, vbc, temp)
-    icq, ibq = currents(p, vbe, vbc + _DELTA, temp)
-    g11 = (icp - ic0) / _DELTA
-    g12 = (icq - ic0) / _DELTA
-    g21 = (ibp - ib0) / _DELTA
-    g22 = (ibq - ib0) / _DELTA
+    vt = thermal_voltage(temp)
+    sign = p["sign"]
+    invnfvt = 1.0 / (p["nf"] * vt)
+    invnrvt = 1.0 / (p["nr"] * vt)
+    a1 = vbe * invnfvt
+    a2 = vbc * invnrvt
+    e1 = jnp.exp(jnp.minimum(a1, _EXP_CLAMP))
+    e2 = jnp.exp(jnp.minimum(a2, _EXP_CLAMP))
+    invvaf = jnp.where(p["vaf"] > 0, 1.0 / p["vaf"], 0.0)
+    invvar = jnp.where(p["var"] > 0, 1.0 / p["var"], 0.0)
+    invikf = jnp.where(p["ikf"] > 0, 1.0 / p["ikf"], 0.0)
+    invikr = jnp.where(p["ikr"] > 0, 1.0 / p["ikr"], 0.0)
+    # stage 1: raw Shockley currents (clamped exp has zero slope)
+    f0 = sign * p["ies"] * (e1 - 1.0)
+    r0 = sign * p["ics"] * (e2 - 1.0)
+    df0 = jnp.where(a1 <= _EXP_CLAMP, sign * p["ies"] * e1 * invnfvt, 0.0)
+    dr0 = jnp.where(a2 <= _EXP_CLAMP, sign * p["ics"] * e2 * invnrvt, 0.0)
+    # stage 2: Early factors; u = 1/qb = 1 - vbc/vaf (1 when vaf off)
+    u = 1.0 - vbc * invvaf
+    wv = 1.0 + vbe * invvar
+    f1 = f0 * u
+    r1 = r0 * wv
+    df1_be = df0 * u
+    df1_bc = -f0 * invvaf
+    dr1_be = r0 * invvar
+    dr1_bc = dr0 * wv
+    # stage 3: knee roll-off i/(1 + |i|·inv_ik·u), quotient rule
+    sf = jnp.sign(f1)
+    sr = jnp.sign(r1)
+    den_f = 1.0 + jnp.abs(f1) * invikf * u
+    den_r = 1.0 + jnp.abs(r1) * invikr * u
+    f2 = f1 / den_f
+    r2 = r1 / den_r
+    ddenf_be = sf * df1_be * invikf * u
+    ddenf_bc = sf * df1_bc * invikf * u - jnp.abs(f1) * invikf * invvaf
+    ddenr_be = sr * dr1_be * invikr * u
+    ddenr_bc = sr * dr1_bc * invikr * u - jnp.abs(r1) * invikr * invvaf
+    df2_be = (df1_be - f2 * ddenf_be) / den_f
+    df2_bc = (df1_bc - f2 * ddenf_bc) / den_f
+    dr2_be = (dr1_be - r2 * ddenr_be) / den_r
+    dr2_bc = (dr1_bc - r2 * ddenr_bc) / den_r
+    # stage 4: terminal currents ic = sign·(af·f2 - r2)·u, ib = ie - ic
+    af = p["alphaf"]
+    ic0 = sign * (af * f2 - r2) * u
+    ie0 = sign * (f2 - r2)
+    ib0 = ie0 - ic0
+    g11 = sign * (af * df2_be - dr2_be) * u
+    g12 = sign * ((af * df2_bc - dr2_bc) * u - (af * f2 - r2) * invvaf)
+    g21 = sign * (df2_be - dr2_be) - g11
+    g22 = sign * (df2_bc - dr2_bc) - g12
     return ic0, ib0, g11, g12, g21, g22
 
 

@@ -39,10 +39,12 @@ XLA OP engine (rescue ladders included) before the attempt loop starts.
 
 BJT decks fuse the same way: the Ebers-Moll eval (bjt.go:214-255 with the
 exp-arg clamp, Early voltage, knee roll-off and NPN/PNP sign handling), the
-consistent numerically-differenced Jacobian (models/bjt.py jacobian — the
-engine's PLAN.md 10 deviation from the reference's inconsistent hand stamp),
-per-junction pnjlim limiting of vbe/vbc and the reference cold-start guess
-(bjt.go:110-120) all run inside the Newton while_loop in double-float.
+consistent ANALYTIC Jacobian (models/bjt.py jacobian — the engine's PLAN.md
+10 deviation from the reference's inconsistent hand stamp; the closed-form
+derivative chain costs one pair of exponentials where the round-2 numeric
+difference paid three full evals), per-junction pnjlim limiting of vbe/vbc
+and the reference cold-start guess (bjt.go:110-120) all run inside the
+Newton while_loop in double-float.
 Transient BJT stamping is DC-only, matching the reference where
 StampTransient is dead code (PLAN.md 1), and Q state (qbe/qbc) is never
 committed — passthrough like the diode state.
@@ -85,7 +87,8 @@ def fused_ineligible_reason(cc, semantics: str, store: str, opts,
     (in-kernel Newton), magnetic inductors and mutual couplings (compat
     freezes the J-A core state — PLAN.md 1 — so L0/Leff and M=k·sqrt(LaLb)
     are run constants computed in XLA f64 around the kernel), compat
-    semantics, backward Euler, store='none', solver knobs that affect the
+    semantics, backward Euler, store='none' and store='full' (uniform-slot
+    attempt buffer + compaction), and solver knobs that affect the
     in-kernel math only through scalars baked at trace time (temp,
     reltol/abstol/max_iter are supported)."""
     if semantics != "compat":
@@ -99,13 +102,28 @@ def fused_ineligible_reason(cc, semantics: str, store: str, opts,
     if extra:
         return f"device kinds {sorted(extra)} not supported by the kernel"
     if params is not None:
-        # batched PWL knot tables are not supported by the lane evaluator
-        for kind in ("V", "I"):
-            if kind in params:
-                for key in ("pwl_t", "pwl_v"):
-                    leaf = params[kind].get(key)
-                    if leaf is not None and jnp.asarray(leaf).ndim > 2:
-                        return "batched (per-instance) PWL knot tables"
+        # the kernel statically skips junction-cap math for devices whose
+        # deck model leaves cj/cbs/cbd at 0 (see _layout m_jcap); an
+        # override that ENABLES caps the static gate skipped would be
+        # silently wrong — reject it (disabling them is fine: zeros flow)
+        if "M" in cc.idx and "M" in params:
+            base = cc.params["M"]
+            jcap_static = ((np.asarray(base["cbs"]) > 0)
+                           | (np.asarray(base["cbd"]) > 0)
+                           | (np.asarray(base["cj"]) > 0))
+            for key in ("cbs", "cbd", "cj"):
+                leaf = params["M"].get(key)
+                if leaf is None:
+                    continue
+                try:
+                    arr = np.asarray(leaf)
+                except Exception:
+                    return ("traced MOSFET junction-cap params (cannot "
+                            "verify the static cap gate)")
+                on = (arr != 0).reshape(-1, arr.shape[-1]).any(axis=0)
+                if np.any(on & ~jcap_static):
+                    return ("MOSFET junction-cap override enables caps the "
+                            "deck's model leaves off (static cap gating)")
     return None
 
 
@@ -273,9 +291,6 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
     rel_c = _df_const(reltol, lanes)
     abs_c = _df_const(abstol, lanes)
     c40 = _df_const(40.0, lanes)
-    if nq_:
-        d_c = _df_const(1e-6, lanes)  # models/bjt.py _DELTA
-        d_inv = _df_const(1e6, lanes)
 
     invnvt = [const(L["d_invnvt"] + k) for k in range(nd_)]
     m3nvt = [const(L["d_m3nvt"] + k) for k in range(nd_)]
@@ -446,13 +461,17 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
 
     def m_charges(km, cut, cgs, cgd, cgb, vgs, vds, vbs):
         """Charge storage (mosfet.go:597-637): Meyer gate charges plus
-        voltage-dependent junction charges via df_pow."""
+        voltage-dependent junction charges via df_pow.  The junction
+        branches are statically skipped (identically-zero values) for
+        devices whose model never sets cj/cbs/cbd (L["m_jcap"])."""
         vgd = _df_add(*vgs, *_df_neg(vds))
-        vbd = _df_add(*vbs, *_df_neg(vds))
         zz = (zero, zero)
         qgs = _df_where(cut, zz, _df_mul(*cgs, *vgs))
         qgd = _df_where(cut, zz, _df_mul(*cgd, *vgd))
         qgb = _df_mul(*cgb, *_df_add(*vgs, *_df_neg(vbs)))
+        if not L["m_jcap"][km]:
+            return qgs, qgd, qgb, zz, zz
+        vbd = _df_add(*vbs, *_df_neg(vds))
         invpb = mrow["m_invpb"][km]
         mj = mrow["m_mj"][km]
         flo = _df_const(1e-30, lanes)
@@ -468,42 +487,93 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         qbd = qjunc(mrow["m_cbd"][km], vbd)
         return qgs, qgd, qgb, qbs, qbd
 
-    def q_currents(kq, vbe, vbc):
-        """Ebers-Moll (ic, ib) — models/bjt.py currents() in double-float.
-        qbinv = 1/qb = 1 - vbc·inv_vaf; the inv_* rows are 0 when the knob
-        is off, making every factor collapse to the reference's untouched
-        branch algebraically (1·x, /1).  NOTE: sharing the exponentials
-        between the nominal and δ-perturbed Jacobian evals (e·exp(δ/nVt))
-        was tried and REVERTED — it bought ~1% on TPU (the BJT body is
-        FLOP-bound elsewhere) and blew XLA CPU's compile of the impl=xla
-        parity path from ~2 min to >15 min (common-subexpression DAG across
-        the three evals explodes fusion)."""
-        a1 = _df_mul(*vbe, *qrow["q_invnfvt"][kq])
-        a1 = _df_where(_df_gt(a1, c40), c40, a1)
-        a2 = _df_mul(*vbc, *qrow["q_invnrvt"][kq])
-        a2 = _df_where(_df_gt(a2, c40), c40, a2)
-        e1 = df_exp(*a1)
-        e2 = df_exp(*a2)
-        i_f = _df_mul(*qrow["q_sies"][kq], *_df_add(*e1, *_df_neg(one_df)))
-        i_r = _df_mul(*qrow["q_sics"][kq], *_df_add(*e2, *_df_neg(one_df)))
-        qbinv = _df_add(*one_df,
-                        *_df_neg(_df_mul(*vbc, *qrow["q_invvaf"][kq])))
-        i_f = _df_mul(*i_f, *qbinv)  # Early: ·(1 - vbc/vaf)
-        i_r = _df_mul(*i_r, *_df_add(*one_df,
-                                     *_df_mul(*vbe, *qrow["q_invvar"][kq])))
-        den_f = _df_add(*one_df, *_df_mul(
-            *_df_mul(*_df_abs(i_f), *qrow["q_invikf"][kq]), *qbinv))
-        i_f = df_div(*i_f, *den_f)  # knee roll-off
-        den_r = _df_add(*one_df, *_df_mul(
-            *_df_mul(*_df_abs(i_r), *qrow["q_invikr"][kq]), *qbinv))
-        i_r = df_div(*i_r, *den_r)
+    def q_jacobian(kq, vbe, vbc):
+        """Analytic consistent Ebers-Moll Jacobian — the exact derivative
+        chain of models/bjt.py ``jacobian`` in double-float: ONE pair of
+        exponentials instead of the three full evals the round-2 numeric
+        difference paid (the BJT body was FLOP-bound on exactly those,
+        tests/tools/bench_kernel_ops.py).  qbinv u = 1 - vbc·inv_vaf; the
+        inv_* rows are 0 when a knob is off, collapsing each factor
+        algebraically (1·x, /1, zero slope)."""
+        invnfvt = qrow["q_invnfvt"][kq]
+        invnrvt = qrow["q_invnrvt"][kq]
+        a1 = _df_mul(*vbe, *invnfvt)
+        cl1 = _df_gt(a1, c40)  # clamped exp region: value e^40, zero slope
+        a2 = _df_mul(*vbc, *invnrvt)
+        cl2 = _df_gt(a2, c40)
+        e1 = df_exp(*_df_where(cl1, c40, a1))
+        e2 = df_exp(*_df_where(cl2, c40, a2))
+        sies = qrow["q_sies"][kq]
+        sics = qrow["q_sics"][kq]
+        zz = (zero, zero)
+        f0 = _df_mul(*sies, *_df_add(*e1, *_df_neg(one_df)))
+        r0 = _df_mul(*sics, *_df_add(*e2, *_df_neg(one_df)))
+        df0 = _df_where(cl1, zz, _df_mul(*_df_mul(*sies, *e1), *invnfvt))
+        dr0 = _df_where(cl2, zz, _df_mul(*_df_mul(*sics, *e2), *invnrvt))
+        invvaf = qrow["q_invvaf"][kq]
+        invvar = qrow["q_invvar"][kq]
+        invikf = qrow["q_invikf"][kq]
+        invikr = qrow["q_invikr"][kq]
+        # Early factors: u = 1/qb, wv = 1 + vbe/var
+        u = _df_add(*one_df, *_df_neg(_df_mul(*vbc, *invvaf)))
+        wv = _df_add(*one_df, *_df_mul(*vbe, *invvar))
+        f1 = _df_mul(*f0, *u)
+        r1 = _df_mul(*r0, *wv)
+        df1_be = _df_mul(*df0, *u)
+        df1_bc = _df_neg(_df_mul(*f0, *invvaf))
+        dr1_be = _df_mul(*r0, *invvar)
+        dr1_bc = _df_mul(*dr0, *wv)
+        # knee roll-off i/(1 + |i|·inv_ik·u), quotient rule
+        absf1 = _df_abs(f1)
+        absr1 = _df_abs(r1)
+        ikfu = _df_mul(*invikf, *u)
+        ikru = _df_mul(*invikr, *u)
+        den_f = _df_add(*one_df, *_df_mul(*absf1, *ikfu))
+        den_r = _df_add(*one_df, *_df_mul(*absr1, *ikru))
+        inv_df_ = _df_recip(*den_f)
+        inv_dr_ = _df_recip(*den_r)
+        f2 = _df_mul(*f1, *inv_df_)
+        r2 = _df_mul(*r1, *inv_dr_)
+
+        def smul(gpair, x):
+            # sign(g)·x with sign(0)=0, selected on the hi limb (a
+            # normalized df pair with hi==0 has lo==0)
+            return _df_where(gpair[0] < 0, _df_neg(x),
+                             _df_where(gpair[0] > 0, x, zz))
+
+        ddenf_be = smul(f1, _df_mul(*df1_be, *ikfu))
+        ddenf_bc = _df_add(
+            *smul(f1, _df_mul(*df1_bc, *ikfu)),
+            *_df_neg(_df_mul(*_df_mul(*absf1, *invikf), *invvaf)))
+        ddenr_be = smul(r1, _df_mul(*dr1_be, *ikru))
+        ddenr_bc = _df_add(
+            *smul(r1, _df_mul(*dr1_bc, *ikru)),
+            *_df_neg(_df_mul(*_df_mul(*absr1, *invikr), *invvaf)))
+        df2_be = _df_mul(
+            *_df_add(*df1_be, *_df_neg(_df_mul(*f2, *ddenf_be))), *inv_df_)
+        df2_bc = _df_mul(
+            *_df_add(*df1_bc, *_df_neg(_df_mul(*f2, *ddenf_bc))), *inv_df_)
+        dr2_be = _df_mul(
+            *_df_add(*dr1_be, *_df_neg(_df_mul(*r2, *ddenr_be))), *inv_dr_)
+        dr2_bc = _df_mul(
+            *_df_add(*dr1_bc, *_df_neg(_df_mul(*r2, *ddenr_bc))), *inv_dr_)
+        # terminal currents and the four conductances
+        af = qrow["q_alphaf"][kq]
         sgn = qrow["q_sign"][kq]
-        ie = _df_mul(*sgn, *_df_add(*i_f, *_df_neg(i_r)))
-        ic = _df_mul(*sgn, *_df_mul(
-            *_df_add(*_df_mul(*qrow["q_alphaf"][kq], *i_f), *_df_neg(i_r)),
-            *qbinv))
-        ib = _df_add(*ie, *_df_neg(ic))
-        return ic, ib
+        t_c = _df_add(*_df_mul(*af, *f2), *_df_neg(r2))  # af·f2 - r2
+        ic0 = _df_mul(*sgn, *_df_mul(*t_c, *u))
+        ie0 = _df_mul(*sgn, *_df_add(*f2, *_df_neg(r2)))
+        ib0 = _df_add(*ie0, *_df_neg(ic0))
+        g11 = _df_mul(*sgn, *_df_mul(
+            *_df_add(*_df_mul(*af, *df2_be), *_df_neg(dr2_be)), *u))
+        g12 = _df_mul(*sgn, *_df_add(
+            *_df_mul(*_df_add(*_df_mul(*af, *df2_bc), *_df_neg(dr2_bc)), *u),
+            *_df_neg(_df_mul(*t_c, *invvaf))))
+        g21 = _df_add(*_df_mul(*sgn, *_df_add(*df2_be, *_df_neg(dr2_be))),
+                      *_df_neg(g11))
+        g22 = _df_add(*_df_mul(*sgn, *_df_add(*df2_bc, *_df_neg(dr2_bc))),
+                      *_df_neg(g12))
+        return ic0, ib0, g11, g12, g21, g22
 
     jv0_hi = jnp.stack([jv_hi[k, :] for k in range(kj)])
     jv0_lo = jnp.stack([jv_lo[k, :] for k in range(kj)])
@@ -600,10 +670,10 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             addx(n1, n, _df_neg(rhs_d))
             addx(n2, n, rhs_d)
 
-        # --- Ebers-Moll eval + consistent numeric Jacobian + stamp
-        # (ops/assemble.py:368-393; cold start bjt.go:110-120 applied to the
-        # EVAL voltages only — the carried jv stays raw, like the general
-        # engine where cold_start lives inside assemble) ---
+        # --- Ebers-Moll eval + analytic consistent Jacobian + stamp
+        # (ops/assemble.py BJT block; cold start bjt.go:110-120 applied to
+        # the EVAL voltages only — the carried jv stays raw, like the
+        # general engine where cold_start lives inside assemble) ---
         for kq in range(nq_):
             ncn, nbn, nen = L["q_nodes"][kq]
             vbe_u = jv_used[L["jv_qbe"] + kq]
@@ -613,15 +683,7 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             vbe = _df_where(cold, qrow["q_vbe0"][kq], vbe_u)
             vbc = _df_where(cold, qrow["q_vbc0"][kq], vbc_u)
 
-            ic0, ib0 = q_currents(kq, vbe, vbc)
-            icp, ibp = q_currents(kq, _df_add(*vbe, *d_c), vbc)
-            icq, ibq = q_currents(kq, vbe, _df_add(*vbc, *d_c))
-            # x(1/δ) instead of /δ: 1/δ = 1e6 as a df const; same df noise
-            # class as the division (models/bjt.py divides in f64)
-            g11 = _df_mul(*_df_add(*icp, *_df_neg(ic0)), *d_inv)
-            g12 = _df_mul(*_df_add(*icq, *_df_neg(ic0)), *d_inv)
-            g21 = _df_mul(*_df_add(*ibp, *_df_neg(ib0)), *d_inv)
-            g22 = _df_mul(*_df_add(*ibq, *_df_neg(ib0)), *d_inv)
+            ic0, ib0, g11, g12, g21, g22 = q_jacobian(kq, vbe, vbc)
 
             sb = qrow["q_sign"][kq]
             g1112 = _df_add(*g11, *g12)
@@ -692,8 +754,7 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             # previous charges (PLAN.md 1; state never committed)
             qgs, qgd, qgb, qbs, qbd = m_charges(
                 km, cut, cgs, cgd, cgb, vgs, vds, vbs)
-            cbs_e = mrow["m_cbs"][km]
-            cbd_e = mrow["m_cbd"][km]
+            jcap = L["m_jcap"][km]  # static: junction caps identically zero
 
             def icap(q, prev_key):
                 prev = mrow[prev_key][km]
@@ -702,14 +763,10 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             icgs = icap(qgs, "m_pqgs")
             icgd = icap(qgd, "m_pqgd")
             icgb = icap(qgb, "m_pqgb")
-            icbs = icap(qbs, "m_pqbs")
-            icbd = icap(qbd, "m_pqbd")
 
             cgd_dt = _df_mul(*cgd, *dtinv)
             cgs_dt = _df_mul(*cgs, *dtinv)
             cgb_dt = _df_mul(*cgb, *dtinv)
-            cbs_dt = _df_mul(*cbs_e, *dtinv)
-            cbd_dt = _df_mul(*cbd_e, *dtinv)
             addx(ngn, ndn, cgd_dt)
             addx(ndn, ngn, cgd_dt)
             addx(ngn, nsn, cgs_dt)
@@ -717,11 +774,16 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             addx(ngn, nbn, cgb_dt)
             addx(nbn, ngn, cgb_dt)
             addx(ngn, ngn, _df_add(*_df_add(*cgd_dt, *cgs_dt), *cgb_dt))
-            addx(nbn, nsn, cbs_dt)
-            addx(nsn, nbn, cbs_dt)
-            addx(nbn, ndn, cbd_dt)
-            addx(ndn, nbn, cbd_dt)
-            addx(nbn, nbn, _df_add(*cbd_dt, *cbs_dt))
+            if jcap:
+                icbs = icap(qbs, "m_pqbs")
+                icbd = icap(qbd, "m_pqbd")
+                cbs_dt = _df_mul(*mrow["m_cbs"][km], *dtinv)
+                cbd_dt = _df_mul(*mrow["m_cbd"][km], *dtinv)
+                addx(nbn, nsn, cbs_dt)
+                addx(nsn, nbn, cbs_dt)
+                addx(nbn, ndn, cbd_dt)
+                addx(ndn, nbn, cbd_dt)
+                addx(nbn, nbn, _df_add(*cbd_dt, *cbs_dt))
 
             # RHS masked by the OTHER terminal's ground check
             # (mosfet.go:744-782) — node indices are static, so the masks are
@@ -738,14 +800,15 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                 addx(ngn, n, icgb)
             if ngn:
                 addx(nbn, n, _df_neg(icgb))
-            if nsn:
-                addx(nbn, n, icbs)
-            if nbn:
-                addx(nsn, n, _df_neg(icbs))
-            if ndn:
-                addx(nbn, n, icbd)
-            if nbn:
-                addx(ndn, n, _df_neg(icbd))
+            if jcap:
+                if nsn:
+                    addx(nbn, n, icbs)
+                if nbn:
+                    addx(nsn, n, _df_neg(icbs))
+                if ndn:
+                    addx(nbn, n, icbd)
+                if nbn:
+                    addx(ndn, n, _df_neg(icbd))
 
         x2_hi, x2_lo = _gj_eliminate(n, *build_matrix(extra))
 
@@ -1100,6 +1163,19 @@ def _layout(cc):
                     if nm_ else [])
     L["m_level"] = ([int(v) for v in np.asarray(cc.idx["M"]["level"])]
                     if nm_ else [])
+    # Static junction-cap gate: decks whose models never set cj/cbs/cbd
+    # (e.g. mosfet1.cir) statically skip the two df_pow junction-charge
+    # branches and their stamps — the values are identically zero there.
+    # Batched overrides that would flip the gate are rejected by
+    # fused_ineligible_reason.
+    if nm_:
+        pm = cc.params["M"]
+        L["m_jcap"] = [bool(np.asarray(pm["cbs"])[k] > 0
+                            or np.asarray(pm["cbd"])[k] > 0
+                            or np.asarray(pm["cj"])[k] > 0)
+                       for k in range(nm_)]
+    else:
+        L["m_jcap"] = []
     return (nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_), L, n_const, n_state
 
 
@@ -1169,12 +1245,15 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     op_execute = make_op(cc, opts)[0] if nonlin else None
     # lanes per grid block (rounded up to a multiple of 1024 = 8 sublanes x
     # 128 lanes).  Linear decks are bandwidth/pipeline-bound and like small
-    # blocks (v5e 8192-way rlc: 1024 -> 285.6M steps/s, 8192 -> 223M);
-    # diode-only in-kernel-Newton decks are ISSUE-bound (short body, many
-    # short while iterations) and gain 2.3x from one maximal block
-    # (diode2 8192-way: 1024 -> 2.2M, 8192 -> 5.1M).  BJT/MOSFET bodies are
-    # FLOP-bound and indifferent (bjt2: 2.58M vs 2.49M) — keep 1024 so the
-    # (n, n+1, 8, W) VMEM working set stays small.
+    # blocks (v5e 8192-way rlc: 1024 -> ~285M steps/s, 8192 -> 223M).
+    # Round 2 measured diode-only decks gaining 2.3x from one maximal
+    # block; round 3 removed the overhead that made that true (the
+    # unconditional PWL searchsorted in eval_sources_lanes, ~2 ms per
+    # attempt at B=8192 — see models/sources.py) and re-measured diode2 at
+    # 1024 -> 4.7M, 2048 -> 5.1M, 8192 -> 4.8M: block size is now a wash
+    # for nonlinear decks (BJT/MOSFET likewise).  The maximal-block default
+    # for diode-only decks is kept — it is never worse and avoids grid
+    # overhead on short runs.
     if block is None:
         if nd_ and not (nq_ or nm_):
             block = int(os.environ.get("TOYSPICE_BLOCK_NL", "8192"))
@@ -1191,15 +1270,16 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         return v * (1.0 + tc1 * dtemp + tc2 * dtemp * dtemp)
 
     def tran_fused(params, state0):
-        # infer batch size from any batched scalar-per-device leaf
-        # (PWL knot tables are (nS, P) and unbatched — fused_eligible)
+        # infer batch size from any batched leaf (scalar-per-device leaves
+        # batch as (B, nK); PWL knot tables as (B, nS, P))
         b = 1
         for tbl in params.values():
             for key, leaf in tbl.items():
-                if key in ("pwl_t", "pwl_v"):
-                    continue
                 leaf = jnp.asarray(leaf)
-                if leaf.ndim == 2:
+                if key in ("pwl_t", "pwl_v"):
+                    if leaf.ndim == 3:
+                        b = max(b, leaf.shape[0])
+                elif leaf.ndim == 2:
                     b = max(b, leaf.shape[0])
         # lanes fold to sublane-dense (8, W) tiles in-kernel, so blocks are
         # multiples of 8 sublanes x 128 lanes = 1024
@@ -1213,7 +1293,12 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             for key, leaf in tbl.items():
                 leaf = jnp.asarray(leaf, dtype=jnp.float64)
                 if key in ("pwl_t", "pwl_v"):
-                    out[key] = leaf  # (nk, P), unbatched (fused_eligible)
+                    # (nk, P) shared, or (B, nk, P) per-lane: pad the lane
+                    # axis (pad lanes never consumed — they start done)
+                    if leaf.ndim == 3 and leaf.shape[0] != bp:
+                        leaf = jnp.pad(
+                            leaf, ((0, bp - leaf.shape[0]), (0, 0), (0, 0)))
+                    out[key] = leaf
                 elif leaf.ndim == 2 and leaf.shape[0] != bp:
                     out[key] = jnp.pad(leaf, ((0, bp - leaf.shape[0]), (0, 0)))
                 else:
@@ -1368,8 +1453,8 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 jv64 = jnp.zeros((nd_ + 2 * nq_ + 3 * nm_, bp),
                                  dtype=jnp.float64)
             else:
-                paxes = {kind: {k: (0 if (k not in ("pwl_t", "pwl_v")
-                                          and jnp.asarray(v).ndim == 2)
+                paxes = {kind: {k: (0 if jnp.asarray(v).ndim
+                                    == (3 if k in ("pwl_t", "pwl_v") else 2)
                                     else None)
                                 for k, v in tbl.items()}
                          for kind, tbl in params.items()}

@@ -51,3 +51,43 @@ def make_ac(cc, opts: SimOptions = DEFAULTS, semantics: str = "compat"):
         return xr, xi, opr
 
     return ac_execute
+
+
+def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
+                  semantics: str = "compat"):
+    """Monte-Carlo-batched AC with the solver batch laid out correctly.
+
+    ``vmap(ac_execute)`` over instances is catastrophically slow on TPU: the
+    INNER frequency vmap (size F ~ 10) reaches the solver's custom_vmap rule
+    first, so the Pallas solve kernel is built with F lanes and the
+    8192-instance axis is then vmapped OVER the pallas_call — 8192 sequential
+    grid steps of a 10/128-lane kernel (measured 825 solves/s at B=8192 x
+    F=10 on v5e).  Here the (B, F) axes are flattened into ONE solver batch
+    of B*F lane-resident systems before the solve: measured ~3 orders of
+    magnitude faster on the same workload.
+
+    Returns fn(params, state0, freqs) -> (xr, xi, opr) with xr/xi of shape
+    (B, F, np1); ``in_axes`` marks the batched param leaves (0) as in
+    batch_params."""
+    np1 = cc.np1
+    op_execute, _ = make_op(cc, opts, semantics=semantics)
+
+    def asm(params, state, jv, freq):
+        return assemble_system_ac(cc, params, state, jv, freq, temp=opts.temp,
+                                  semantics=semantics)
+
+    def ac_batch_execute(params, state0, freqs):
+        opr = jax.vmap(lambda p: op_execute(p, state0),
+                       in_axes=(in_axes,))(params)
+        a2, b2 = jax.vmap(
+            jax.vmap(asm, in_axes=(None, None, None, 0)),
+            in_axes=(in_axes, None, 0, None),
+        )(params, state0, opr.jv, freqs)
+        bsz, nf = a2.shape[0], a2.shape[1]
+        n2 = 2 * np1
+        x2 = jax.vmap(linear_solve)(
+            a2.reshape(bsz * nf, n2, n2), b2.reshape(bsz * nf, n2))
+        x2 = x2.reshape(bsz, nf, n2)
+        return x2[..., :np1], x2[..., np1:], opr
+
+    return ac_batch_execute

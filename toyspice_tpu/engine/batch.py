@@ -152,14 +152,18 @@ def run_op_batch(cc, params, in_axes, jit: bool = True,
 
 def run_ac_batch(cc, params, in_axes, freqs, jit: bool = True,
                  opts: SimOptions = DEFAULTS, semantics: str = "compat"):
-    """vmapped AC: per-instance bias point + frequency sweep.  Returns
-    (xr, xi, opr) with leading batch axes; xr/xi are (B, F, np1)."""
-    ac_execute = make_ac(cc, opts, semantics=semantics)
+    """Batched AC: per-instance bias point + frequency sweep.  Returns
+    (xr, xi, opr) with leading batch axes; xr/xi are (B, F, np1).  Routed
+    through make_ac_batch, which flattens the (B, F) axes into one solver
+    batch — a naive vmap-of-vmap leaves the Monte-Carlo axis OUTSIDE the
+    Pallas solve and is ~1000x slower on TPU (see make_ac_batch)."""
+    from .ac import make_ac_batch
+
+    fn = make_ac_batch(cc, in_axes, opts, semantics=semantics)
     state0 = init_state(cc)
-    fn = jax.vmap(lambda p: ac_execute(p, state0, freqs), in_axes=(in_axes,))
     if jit:
         fn = jax.jit(fn)
-    return fn(params)
+    return fn(params, state0, freqs)
 
 
 def run_dc_batch(cc, src_slots, params, in_axes, points, jit: bool = True,

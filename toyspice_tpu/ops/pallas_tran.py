@@ -1582,14 +1582,19 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             nr_iters=jnp.zeros(bp, dtype=jnp.int32),
         )
         if store == "full":
-            # One attempt-indexed value buffer: rows [x_hi(n), x_lo(n),
+            # One slot-indexed value buffer: rows [x_hi(n), x_lo(n),
             # t(3)] — t crosses as an EXACT triple-float split (24+24+4
             # mantissa bits covers any f64; an f64 bitcast would be bit-
             # cheaper but crashes the TPU compiler on the emulated-f64
-            # backend) so compaction needs a single gather.  Row `la` is a
-            # trash slot for loop overshoot.
+            # backend).  Row `la` is a trash slot for overshoot.  The slot
+            # counter advances only on attempts where SOME lane keeps a row
+            # (rejected/pre-tstart attempts consume no slot), so consumed
+            # slots track the max-over-lanes kept count plus lane skew —
+            # the round-2 design indexed slots by raw attempt count and
+            # needed 2*max_store+256 rows plus reject-churn overflow
+            # exposure.
             la = int(os.environ.get("TOYSPICE_FUSED_STORE_ATTEMPTS",
-                                    2 * cfg.max_store + 256))
+                                    cfg.max_store + 64))
             la = min(la, cfg.max_attempts)
             carry0.update(
                 it=jnp.int32(0),
@@ -1705,7 +1710,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             if store == "full":
                 keep = acc_act & (next_t >= cfg.tstart)
                 slot = jnp.minimum(c["it"], la)  # la = trash row (overshoot)
-                out["it"] = c["it"] + 1
+                out["it"] = c["it"] + jnp.any(keep).astype(jnp.int32)
                 # exact triple split: each residual subtraction is exact in
                 # f64 and the final residual fits f32 (<= 4 mantissa bits)
                 t_a = next_t.astype(jnp.float32)
@@ -1797,24 +1802,71 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             # vmapped searchsorted costs 12 s), followed by one gather per
             # buffer.  Rows never kept scatter to the k_store trash column.
             k_store = cfg.max_store
+            w_rows = 8
             kp = c["keep_buf"][:la, :b]  # live lanes only; padding is junk
             cnt = jnp.cumsum(kp.astype(jnp.int32), axis=0)  # (la, b)
             stored = cnt[-1]
-            lane_ix = jax.lax.broadcasted_iota(jnp.int32, (la, b), 1)
-            row_ix = jax.lax.broadcasted_iota(jnp.int32, (la, b), 0)
-            dest = jnp.where(kp, cnt - 1, k_store)
-            src = jnp.zeros((k_store + 1, b), jnp.int32).at[
-                dest, lane_ix].set(row_ix, mode="drop")[:k_store]
-            g = jnp.take_along_axis(c["val_buf"][:la, :, :b],
-                                    src[:, None, :], axis=0)
-            mask = (jnp.arange(k_store, dtype=jnp.int32)[:, None]
-                    < stored[None, :])
-            x64 = jnp.where(mask[:, None, :],
-                            g[:, :n].astype(f64)
-                            + g[:, n:2 * n].astype(f64), 0.0)
-            t64 = (g[:, 2 * n].astype(f64) + g[:, 2 * n + 1].astype(f64)
-                   + g[:, 2 * n + 2].astype(f64))  # exact reconstruction
-            t64 = jnp.where(mask, t64, 0.0)
+            kidx = jnp.arange(k_store, dtype=jnp.int32)[:, None]
+            mask = kidx < stored[None, :]
+            # Combine the f32 limb pairs into f64 rows FIRST (elementwise):
+            # whatever row selection follows then moves half the elements.
+            # The barriers pin stage boundaries — left alone, XLA fuses
+            # convert + selection + mask + transpose into one mega-fusion
+            # whose (b, k, n)-ordered emission strides the whole buffer
+            # (measured 969 ms at la=30k, b=1024).
+            vb = c["val_buf"][:la, :, :b]
+            x64buf = vb[:, :n].astype(f64) + vb[:, n:2 * n].astype(f64)
+            t64buf = (vb[:, 2 * n].astype(f64) + vb[:, 2 * n + 1].astype(f64)
+                      + vb[:, 2 * n + 2].astype(f64))  # exact reconstruction
+            buf64 = jnp.concatenate([x64buf, t64buf[:, None]], axis=1)
+            need = k_store + w_rows  # shifted slices need this many rows
+            if la < need:  # la overridden smaller via env: zero-pad rows
+                buf64 = jnp.pad(buf64, ((0, need - la), (0, 0), (0, 0)))
+                kpp = jnp.pad(kp, ((0, need - la), (0, 0)))
+                cntp = jnp.pad(cnt, ((0, need - la), (0, 0)), mode="edge")
+            else:
+                kpp, cntp = kp, cnt
+            buf64 = jax.lax.optimization_barrier(buf64)
+            # Lanes keep in near-lockstep (the slot counter advances only on
+            # keeps, and accept/reject patterns synchronize across a
+            # Monte-Carlo batch: measured src == k exactly on 1024-way
+            # rlc), so a lane's k-th kept row sits at slot k + skew with
+            # tiny skew.  Find it with W shifted compares — row k+w is the
+            # k-th keep of a lane iff it is kept and its cumulative count
+            # is k+1 — all uniform slices + elementwise ops at copy speed.
+            skew = jnp.zeros((k_store, b), dtype=jnp.int32)
+            found = jnp.zeros((k_store, b), dtype=bool)
+            for w in range(w_rows):
+                hit = (kpp[w:w + k_store]
+                       & (cntp[w:w + k_store] == kidx + 1))
+                skew = jnp.where(hit, jnp.int32(w), skew)
+                found = found | hit
+            fast_ok = jnp.all(found | ~mask)
+
+            def _shifted_select(buf):
+                acc = jnp.zeros((k_store, n + 1, b), dtype=f64)
+                for w in range(w_rows):
+                    sel = (skew == w)[:, None, :]
+                    acc = acc + jnp.where(sel, buf[w:w + k_store], 0.0)
+                return acc
+
+            def _row_gather(buf):
+                # general path: a lane fell > W slots behind.  Build the
+                # k -> slot map with one scatter (0.5 s where a vmapped
+                # searchsorted costs 12 s at this size), then one row
+                # gather (issue-bound at ~1 scalar load/cycle).
+                lane_ix = jax.lax.broadcasted_iota(jnp.int32, (la, b), 1)
+                row_ix = jax.lax.broadcasted_iota(jnp.int32, (la, b), 0)
+                dest = jnp.where(kp, cnt - 1, k_store)
+                src = jnp.zeros((k_store + 1, b), jnp.int32).at[
+                    dest, lane_ix].set(row_ix, mode="drop")[:k_store]
+                return jnp.take_along_axis(buf, src[:, None, :], axis=0)
+
+            g = jax.lax.cond(fast_ok, _shifted_select, _row_gather, buf64)
+            g = jax.lax.optimization_barrier(g)  # (k_store, n+1, b)
+            x64 = jnp.where(mask[:, None, :], g[:, :n], 0.0)
+            t64 = jnp.where(mask, g[:, n], 0.0)
+            x64, t64 = jax.lax.optimization_barrier((x64, t64))
             out_x = jnp.transpose(x64, (2, 0, 1))
             out_t = jnp.transpose(t64, (1, 0))
             out_n = stored

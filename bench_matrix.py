@@ -40,8 +40,7 @@ import toyspice_tpu  # noqa: F401  (enables x64)
 from toyspice_tpu.compiler import compile_circuit
 from toyspice_tpu.netlist.parser import parse
 from toyspice_tpu.engine.ac import frequency_points
-from toyspice_tpu.engine.batch import (batch_params, make_tran_batch,
-                                       run_ac_batch, run_dc_batch)
+from toyspice_tpu.engine.batch import batch_params, make_tran_batch
 from toyspice_tpu.engine.dc import sweep_values
 from toyspice_tpu.engine.state import init_state
 from toyspice_tpu.engine.tran import build_config
@@ -70,22 +69,33 @@ def _perturbed(cc, batch, spread=0.05, seed=0):
     return batch_params(cc, overrides)
 
 
-def bench_tran(deck, store="none", batch=BATCH):
+def bench_tran(deck, store="none", batch=BATCH, max_store=None):
     cc = _load(deck)
     tp = cc.netlist.tran
     cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic)
+    if max_store is not None:
+        # cap the waveform buffer below the worst-case minstep pacing: the
+        # full-batch demo would not fit HBM sized for max_store (the
+        # overflow flag accounts for any run that outgrows the cap)
+        cfg = cfg._replace(max_store=max_store)
     params, axes = _perturbed(cc, batch)
     state0 = init_state(cc)
     fn = make_tran_batch(cc, cfg, axes, store=store, params=params)
+    # waveform checksum: a device-side reduction with a scalar fetch.  The
+    # waveforms are computed inside the main program (fetching accepted
+    # already blocks on every output), but pulling GB-scale out_x through
+    # the axon dev tunnel costs seconds and is not an engine property —
+    # reduce on device instead.
+    chk = jax.jit(lambda o: jnp.sum(o.out_t[:, -1]) + jnp.sum(o.out_x[:, 0]))
     out = fn(params, state0)  # compile + warm
     _ = int(np.sum(np.asarray(out.accepted)))
+    if store == "full":
+        _ = float(chk(out))
     t0 = time.perf_counter()
     out = fn(params, state0)
     steps = int(np.sum(np.asarray(out.accepted)))
     if store == "full":
-        # waveforms are the product: force their materialization too
-        _ = np.asarray(out.out_t[:, -1])
-        _ = float(np.asarray(out.out_x[:, 0, :]).sum())
+        _ = float(chk(out))
     wall = time.perf_counter() - t0
     fails = int(np.sum(np.asarray(out.fail)))
     row = {
@@ -101,16 +111,21 @@ def bench_tran(deck, store="none", batch=BATCH):
 
 
 def bench_ac(deck="bjt3.cir", batch=BATCH):
+    from toyspice_tpu.engine.ac import make_ac_batch
+
     cc = _load(deck)
     ap = cc.netlist.ac
     freqs = jnp.asarray(frequency_points(ap.sweep, ap.fstart, ap.fstop,
                                          ap.points))
     params, axes = _perturbed(cc, batch)
-    xr, xi, opr = run_ac_batch(cc, params, axes, freqs)  # compile + warm
-    _ = float(np.asarray(xr).sum())
+    state0 = init_state(cc)
+    fn = jax.jit(make_ac_batch(cc, axes))  # built ONCE: no per-call retrace
+    chk = jax.jit(lambda a, c: jnp.sum(a) + jnp.sum(c))
+    xr, xi, opr = fn(params, state0, freqs)  # compile + warm
+    _ = float(chk(xr, xi))
     t0 = time.perf_counter()
-    xr, xi, opr = run_ac_batch(cc, params, axes, freqs)
-    _ = float(np.asarray(xr).sum()) + float(np.asarray(xi).sum())
+    xr, xi, opr = fn(params, state0, freqs)
+    _ = float(chk(xr, xi))
     wall = time.perf_counter() - t0
     nf = int(freqs.shape[0])
     return {
@@ -121,16 +136,23 @@ def bench_ac(deck="bjt3.cir", batch=BATCH):
 
 
 def bench_dc(deck="diode3.cir", batch=BATCH):
+    from toyspice_tpu.engine.dc import make_dc
+
     cc = _load(deck)
     dp = cc.netlist.dc
     pts = jnp.asarray(sweep_values(dp.start1, dp.stop1, dp.increment1))
     slots = (cc.names["V"].index(dp.source1),)
     params, axes = _perturbed(cc, batch)
-    xs, conv = run_dc_batch(cc, slots, params, axes, pts)  # compile + warm
-    _ = float(np.asarray(xs).sum())
+    state0 = init_state(cc)
+    dc_execute = make_dc(cc, slots)
+    fn = jax.jit(jax.vmap(lambda p: dc_execute(p, state0, pts),
+                          in_axes=(axes,)))  # built ONCE
+    chk = jax.jit(lambda a: jnp.sum(a))
+    xs, conv = fn(params)  # compile + warm
+    _ = float(chk(xs))
     t0 = time.perf_counter()
-    xs, conv = run_dc_batch(cc, slots, params, axes, pts)
-    _ = float(np.asarray(xs).sum())
+    xs, conv = fn(params)
+    _ = float(chk(xs))
     wall = time.perf_counter() - t0
     npts = int(pts.shape[0])
     return {
@@ -157,6 +179,9 @@ def main():
     run("tran", bench_tran, "rlc.cir", "none")
     run("tran", bench_tran, "rlc.cir", "full",
         batch=min(BATCH, int(os.environ.get("BENCH_MATRIX_FULL_BATCH", 1024))))
+    # full-batch full-waveform demo: store buffer capped (vpulse accepts
+    # ~305 rows/lane; worst-case max_store sizing would exceed HBM at 8192)
+    run("tran", bench_tran, "vpulse.cir", "full", max_store=512)
     run("tran", bench_tran, "diode2.cir", "none")
     run("tran", bench_tran, "bjt2.cir", "none")
     run("tran", bench_tran, "mosfet1.cir", "none")

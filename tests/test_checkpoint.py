@@ -96,3 +96,58 @@ def test_fill_missing_new_state_fields(tmp_path):
     assert "hist" in loaded["C"]
     np.testing.assert_array_equal(loaded["C"]["hist"],
                                   np.zeros_like(loaded["C"]["v0"]))
+
+
+@pytest.mark.slow
+def test_fused_resume_matches_general_resume():
+    """make_tran_fused(resume=True) continues a checkpointed batched run
+    with the same trajectories as the general engine's resume flavor
+    (fused kernel in interpret mode on the CPU test platform)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from toyspice_tpu.engine.batch import batch_params
+    from toyspice_tpu.engine.options import DEFAULTS
+    from toyspice_tpu.engine.tran import build_config, make_tran
+    from toyspice_tpu.ops.pallas_tran import make_tran_fused
+
+    cc = compile_circuit(parse(RC_SIN))
+    tp = cc.netlist.tran
+    cfg_half = build_config(tp.tstart, tp.tstop / 2, tp.tstep, tp.tmax,
+                            tp.uic)
+    cfg_full = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic)
+
+    rv = np.asarray(cc.params["R"]["value"])[None, :] * np.array(
+        [[1.0], [1.07]])
+    params, axes = batch_params(cc, {"R": {"value": rv}})
+    state0 = init_state(cc)
+
+    leg1 = jax.jit(jax.vmap(make_tran(cc, cfg_half, store="none"),
+                            in_axes=(axes, None)))(params, state0)
+    state1 = leg1.state  # batched (B, nk) leaves
+    t1 = leg1.t_final  # (B,)
+
+    saxes = jax.tree_util.tree_map(lambda _: 0, state1)
+    gen_r = jax.jit(jax.vmap(
+        make_tran(cc, cfg_full, store="none", resume=True),
+        in_axes=(axes, saxes, 0, None)))
+    og = gen_r(params, state1, t1, {})
+
+    fused_r = make_tran_fused(cc, cfg_full, DEFAULTS, resume=True)
+    with pltpu.force_tpu_interpret_mode():
+        of = jax.jit(fused_r)(params, state1, t1, {})
+
+    np.testing.assert_array_equal(np.asarray(of.accepted),
+                                  np.asarray(og.accepted))
+    np.testing.assert_array_equal(np.asarray(of.attempts),
+                                  np.asarray(og.attempts))
+    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail))
+    np.testing.assert_allclose(np.asarray(of.t_final),
+                               np.asarray(og.t_final), rtol=0, atol=0)
+    for kind in og.state:
+        for key in og.state[kind]:
+            a = np.asarray(og.state[kind][key])
+            f = np.asarray(of.state[kind][key])
+            scale = max(1e-30, float(np.max(np.abs(a))))
+            np.testing.assert_allclose(f, a, rtol=5e-7, atol=5e-13 * scale,
+                                       err_msg=f"{kind}.{key}")

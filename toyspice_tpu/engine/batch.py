@@ -42,7 +42,7 @@ def batch_params(cc, overrides: Dict[str, Dict[str, jnp.ndarray]]) -> Tuple[dict
 def make_tran_batch(cc, cfg: TranConfig, in_axes,
                     semantics: str = "compat", store: str = "none",
                     jit: bool = True, opts: SimOptions = DEFAULTS,
-                    params=None):
+                    params=None, resume: bool = False):
     """Build the batched transient callable fn(params, state0) -> TranOutput.
 
     Build ONCE and reuse: each call to this factory returns a fresh ``jax.jit``
@@ -60,7 +60,7 @@ def make_tran_batch(cc, cfg: TranConfig, in_axes,
     supported by the fused path)."""
     engine, reason, fn = select_tran_engine(
         cc, cfg, in_axes, semantics=semantics, store=store, opts=opts,
-        params=params)
+        params=params, resume=resume)
     _log.info("transient engine: %s (%s)", engine, reason)
     fn = jax.jit(fn) if jit else fn
     try:
@@ -73,7 +73,8 @@ def make_tran_batch(cc, cfg: TranConfig, in_axes,
 
 def select_tran_engine(cc, cfg: TranConfig, in_axes,
                        semantics: str = "compat", store: str = "none",
-                       opts: SimOptions = DEFAULTS, params=None):
+                       opts: SimOptions = DEFAULTS, params=None,
+                       resume: bool = False):
     """Decide fused-kernel vs general engine for a batched transient.
 
     Returns (engine_name, reason, fn) with engine_name in
@@ -100,7 +101,21 @@ def select_tran_engine(cc, cfg: TranConfig, in_axes,
         engine, reason = "fused", f"eligible (compat/BE, store={store!r})"
 
     if engine == "fused":
-        fn = make_tran_fused(cc, cfg, opts, store=store)
+        fn = make_tran_fused(cc, cfg, opts, store=store, resume=resume)
+    elif resume:
+        tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts,
+                         resume=True)
+
+        def fn(params_, state0, t0=0.0, jv0=None):
+            # a checkpointed batch carries batched state/jv leaves (B, nk)
+            # and possibly per-instance times (B,)
+            saxes = jax.tree_util.tree_map(
+                lambda l: 0 if jnp.asarray(l).ndim == 2 else None, state0)
+            jaxes = jax.tree_util.tree_map(
+                lambda l: 0 if jnp.asarray(l).ndim == 2 else None, jv0)
+            taxis = 0 if jnp.ndim(t0) == 1 else None
+            return jax.vmap(tran, in_axes=(in_axes, saxes, taxis, jaxes))(
+                params_, state0, t0, jv0)
     else:
         tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts)
         fn = jax.vmap(tran, in_axes=(in_axes, None))

@@ -1198,7 +1198,7 @@ def _lanes(leaf, nk, bp):
 
 
 def make_tran_fused(cc, cfg, opts, block: int | None = None,
-                    store: str = "none"):
+                    store: str = "none", resume: bool = False):
     """Batched fused transient for eligible circuits.
 
     Returns fn(params, state0) -> TranOutput with a leading batch axis on
@@ -1206,6 +1206,12 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     batched; `state0` is the unbatched init_state(cc) dict (or (B, nk)
     leaves).  Semantics: exactly engine/tran.py compat/BE (the control flow
     below is a line-for-line counterpart; state/LTE/solve run in-kernel).
+
+    resume=True mirrors make_tran's resume flavor: fn(params, state0, t0,
+    jv0) continues a checkpointed run — the OP re-bias is skipped, the
+    clock starts at t0 (scalar shared or (B,) per-lane, so time-varying
+    sources keep their phase) and the carried device linearization comes
+    from the checkpoint jv0; cfg.tstart/tstop stay absolute.
 
     store='full' keeps the kernel untouched and stores waveforms from the
     XLA control loop: every attempt's solution is written at the UNIFORM
@@ -1269,10 +1275,18 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         tc2 = _lanes(tbl["tc2"], nk, b)
         return v * (1.0 + tc1 * dtemp + tc2 * dtemp * dtemp)
 
-    def tran_fused(params, state0):
+    def tran_fused(params, state0, t0=None, jv0=None):
+        if resume:
+            assert t0 is not None, "resume=True requires the checkpoint time"
+            assert jv0 is not None or not nonlin, (
+                "resume=True requires the checkpointed jv for nonlinear decks")
         # infer batch size from any batched leaf (scalar-per-device leaves
         # batch as (B, nK); PWL knot tables as (B, nS, P))
         b = 1
+        if resume:
+            t0a = jnp.asarray(t0, dtype=jnp.float64)
+            if t0a.ndim == 1:
+                b = max(b, t0a.shape[0])
         for tbl in params.values():
             for key, leaf in tbl.items():
                 leaf = jnp.asarray(leaf)
@@ -1280,6 +1294,11 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                     if leaf.ndim == 3:
                         b = max(b, leaf.shape[0])
                 elif leaf.ndim == 2:
+                    b = max(b, leaf.shape[0])
+        for tbl in state0.values():
+            for leaf in tbl.values():
+                leaf = jnp.asarray(leaf)
+                if leaf.ndim == 2:  # resumed/batched committed state
                     b = max(b, leaf.shape[0])
         # lanes fold to sublane-dense (8, W) tiles in-kernel, so blocks are
         # multiples of 8 sublanes x 128 lanes = 1024
@@ -1447,9 +1466,22 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         const_hi, const_lo = _hi_lo(const64)
 
         # ---- junction-voltage warm start: the OP bias point (tran.go:57-75)
-        # through the general XLA engine, rescue ladders included ----
+        # through the general XLA engine, rescue ladders included; a resumed
+        # run carries the checkpointed linearization instead ----
         if nonlin:
-            if cfg.uic:
+            if resume:
+                jrows = []
+                if nd_:
+                    jrows.append(_lanes(jv0["D"]["vd"], nd_, bp))
+                if nq_:
+                    jrows.append(_lanes(jv0["Q"]["vbe"], nq_, bp))
+                    jrows.append(_lanes(jv0["Q"]["vbc"], nq_, bp))
+                if nm_:
+                    jrows.append(_lanes(jv0["M"]["vgs"], nm_, bp))
+                    jrows.append(_lanes(jv0["M"]["vds"], nm_, bp))
+                    jrows.append(_lanes(jv0["M"]["vbs"], nm_, bp))
+                jv64 = jnp.concatenate(jrows, axis=0)
+            elif cfg.uic:
                 jv64 = jnp.zeros((nd_ + 2 * nq_ + 3 * nm_, bp),
                                  dtype=jnp.float64)
             else:
@@ -1570,10 +1602,17 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         lane = jnp.arange(bp)
         pad = lane >= b
         f64 = jnp.float64
+        if resume:
+            if t0a.ndim == 0:
+                t_init = jnp.full(bp, t0a, dtype=f64)
+            else:
+                t_init = jnp.pad(t0a, (0, bp - t0a.shape[0]))
+        else:
+            t_init = jnp.zeros(bp, dtype=f64)
         carry0 = dict(
-            t=jnp.zeros(bp, dtype=f64),
+            t=t_init,
             dt=jnp.full(bp, cfg.minstep, dtype=f64),
-            done=pad | jnp.full(bp, cfg.tstop <= 0.0),
+            done=pad | (t_init >= cfg.tstop) | jnp.full(bp, cfg.tstop <= 0.0),
             fail=jnp.zeros(bp, dtype=bool),
             st_hi=fold(st_hi0), st_lo=fold(st_lo0),
             jv_hi=fold(jvh0), jv_lo=fold(jvl0),

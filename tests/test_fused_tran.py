@@ -601,3 +601,77 @@ def test_fused_diode_kernel_plumbing_interpret():
                     impl="kernel")
     finally:
         os.environ.pop("TOYSPICE_TRAN_KERNEL_BUILD", None)
+
+
+# ---- physics-mode fused transients (round 3): BE + trapezoidal companions,
+# bias-point seeding, live J-A core state carried in the attempt loop ----
+
+TRANS_SMALL = """* small 2-winding J-A transformer
+Vin 1 0 sin(0 10 1k)
+Rp 1 2 0.5
+Lp 2 0 core=C1 turns=300
+Ls 3 0 core=C1 turns=150
+Rload 3 0 1000
+.model C1 core(ms=1.6e6 alpha=1e-3 a=1000 c=0.1 k=2000 area=1e-4 len=0.1)
+K1 Lp Ls 0.95
+.tran 20u 1m
+"""
+
+
+def _compare_physics(deck, integration, overrides=None):
+    opts = SimOptions(integration=integration)
+    cc = compile_circuit(parse(deck))
+    assert fused_eligible(cc, "physics", "none", opts)
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts)
+    state0 = init_state(cc)
+    if not overrides:
+        overrides = {"R": {"value": np.asarray(cc.params["R"]["value"])[None, :]}}
+    params, axes = batch_params(cc, overrides)
+
+    gen = jax.jit(jax.vmap(
+        make_tran(cc, cfg, semantics="physics", store="none", opts=opts),
+        in_axes=(axes, None)))
+    og = gen(params, state0)
+
+    fused = make_tran_fused(cc, cfg, opts, semantics="physics")
+    with pltpu.force_tpu_interpret_mode():
+        of = jax.jit(fused)(params, state0)
+
+    np.testing.assert_array_equal(np.asarray(of.accepted),
+                                  np.asarray(og.accepted))
+    np.testing.assert_array_equal(np.asarray(of.attempts),
+                                  np.asarray(og.attempts))
+    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail))
+    np.testing.assert_allclose(np.asarray(of.t_final), np.asarray(og.t_final),
+                               rtol=0, atol=0)
+    for kind in og.state:
+        for key in og.state[kind]:
+            a = np.asarray(og.state[kind][key])
+            f = np.asarray(of.state[kind][key])
+            scale = max(1e-30, float(np.max(np.abs(a))))
+            np.testing.assert_allclose(f, a, rtol=5e-7, atol=5e-13 * scale,
+                                       err_msg=f"{kind}.{key}")
+    return og, of
+
+
+def test_fused_physics_be_rlc():
+    rv = np.asarray([[100.0], [92.0]])
+    _compare_physics(RLC_TINY, "be", {"R": {"value": np.concatenate(
+        [rv, np.full((2, 1), 1e4)], axis=1)}})
+
+
+def test_fused_physics_trap_rlc():
+    rv = np.asarray([[100.0], [92.0]])
+    _compare_physics(RLC_TINY, "trap", {"R": {"value": np.concatenate(
+        [rv, np.full((2, 1), 1e4)], axis=1)}})
+
+
+def test_fused_physics_magnetic_live_ja():
+    og, of = _compare_physics(TRANS_SMALL, "be")
+    # the live core actually evolved (compat would freeze it at zero)
+    assert float(np.max(np.abs(np.asarray(og.state["LM"]["M"])))) > 0.0
+
+
+def test_fused_physics_trap_magnetic():
+    _compare_physics(TRANS_SMALL, "trap")

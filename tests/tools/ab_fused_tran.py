@@ -112,6 +112,70 @@ def run_deck(name):
             f"state max rel diff {worst:.2e}")
 
 
+def run_physics_deck(name, integration):
+    """Physics-mode fused A/B (round 3): BE or trapezoidal companions,
+    bias-point seeding, live J-A core state — vs the general physics
+    engine."""
+    from toyspice_tpu.engine.options import SimOptions
+
+    opts = SimOptions(integration=integration)
+    with open(os.path.join(REFERENCE_CIRCUITS, name)) as f:
+        deck = f.read()
+    cc = compile_circuit(parse(deck))
+    if not fused_eligible(cc, "physics", "none", opts):
+        return f"{name} physics/{integration}: SKIP (not fused-eligible)"
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts)
+    state0 = init_state(cc)
+
+    rng = np.random.default_rng(7)
+    overrides = {}
+    for kind in ("R", "C", "L"):
+        if kind in cc.params:
+            base = np.asarray(cc.params[kind]["value"])[None, :]
+            overrides[kind] = {
+                "value": base * np.exp(rng.normal(0, 0.05, (B, base.shape[1])))}
+    params, axes = batch_params(cc, overrides)
+
+    gen = jax.jit(jax.vmap(
+        make_tran(cc, cfg, semantics="physics", store="none", opts=opts),
+        in_axes=(axes, None)))
+    og = jax.block_until_ready(gen(params, state0))
+    of = jax.block_until_ready(jax.jit(
+        make_tran_fused(cc, cfg, opts, semantics="physics"))(params, state0))
+
+    np.testing.assert_array_equal(np.asarray(of.accepted),
+                                  np.asarray(og.accepted), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(of.attempts),
+                                  np.asarray(og.attempts), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail),
+                                  err_msg=name)
+    ok = ~np.asarray(og.fail)  # hard-failed lanes carry junk state on both
+    worst = 0.0
+    for kind in og.state:
+        for key in og.state[kind]:
+            a = np.asarray(og.state[kind][key])[ok]
+            fv = np.asarray(of.state[kind][key])[ok]
+            scale = max(1e-30, float(np.max(np.abs(a))))
+            rel = float(np.max(np.abs(fv - a))) / scale
+            worst = max(worst, rel)
+            # C.i0 is a committed DIFFERENCE quantity (C·(v-v0)/dt): the
+            # df solver noise on v (~3e-15 rel) divides by the tiny per-step
+            # dv, so its noise class is ~1e-9; the trap recursion
+            # (i' = 2dv·C/dt - i) carries it without decay.  Everything
+            # else holds the usual df bound.
+            bound = 1e-7 if (kind, key) == ("C", "i0") else 5e-11
+            assert rel < bound, f"{name} {kind}.{key}: rel {rel:.2e}"
+    acc = np.asarray(og.accepted)
+    return (f"{name} physics/{integration}: OK  accepted "
+            f"{int(acc.min())}..{int(acc.max())}, "
+            f"fails {int(np.sum(~ok))}, state max rel {worst:.2e}")
+
+
+PHYSICS_DECKS = [("rlc.cir", "be"), ("rlc.cir", "trap"),
+                 ("transformer3.cir", "be"), ("transformer3.cir", "trap")]
+
+
 def main():
     print("devices:", jax.devices())
     fails = 0
@@ -121,6 +185,13 @@ def main():
         except Exception as e:  # noqa: BLE001 - report and continue the sweep
             fails += 1
             print(f"{name}: FAIL {type(e).__name__}: {e}", flush=True)
+    for name, integ in PHYSICS_DECKS:
+        try:
+            print(run_physics_deck(name, integ), flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue the sweep
+            fails += 1
+            print(f"{name} physics/{integ}: FAIL {type(e).__name__}: {e}",
+                  flush=True)
     if fails:
         sys.exit(1)
     print("A/B sweep: all decks match")

@@ -22,10 +22,13 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 STAGES = [
     ("solver A/B (22-deck sweep, XLA f64 vs Pallas df)",
      [sys.executable, "tests/tools/ab_solver.py", "all"]),
-    ("fused transient A/B (12 decks, general vs fused kernel)",
+    ("fused transient A/B (12 compat decks + physics/trap, general vs "
+     "fused kernel)",
      [sys.executable, "tests/tools/ab_fused_tran.py"]),
     ("headline benchmark (bench.py)",
      [sys.executable, "bench.py"]),
+    ("per-class benchmark matrix (bench_matrix.py -> BENCH_MATRIX.json)",
+     [sys.executable, "bench_matrix.py"]),
 ]
 
 

@@ -98,10 +98,12 @@ def select_tran_engine(cc, cfg: TranConfig, in_axes,
             f"solver backend is {_solver_backend()!r}, not the TPU Pallas "
             "backend (set TOYSPICE_TRAN=fused to force)")
     else:
-        engine, reason = "fused", f"eligible (compat/BE, store={store!r})"
+        engine, reason = "fused", (f"eligible ({semantics}/"
+                                   f"{opts.integration}, store={store!r})")
 
     if engine == "fused":
-        fn = make_tran_fused(cc, cfg, opts, store=store, resume=resume)
+        fn = make_tran_fused(cc, cfg, opts, store=store, resume=resume,
+                             semantics=semantics)
     elif resume:
         tran = make_tran(cc, cfg, semantics=semantics, store=store, opts=opts,
                          resume=True)

@@ -86,21 +86,34 @@ def fused_ineligible_reason(cc, semantics: str, store: str, opts,
     The fused path covers: R/C/L/V/I plus diodes, BJTs and MOSFETs
     (in-kernel Newton), magnetic inductors and mutual couplings (compat
     freezes the J-A core state — PLAN.md 1 — so L0/Leff and M=k·sqrt(LaLb)
-    are run constants computed in XLA f64 around the kernel), compat
-    semantics, backward Euler, store='none' and store='full' (uniform-slot
-    attempt buffer + compaction), and solver knobs that affect the
-    in-kernel math only through scalars baked at trace time (temp,
-    reltol/abstol/max_iter are supported)."""
-    if semantics != "compat":
-        return f"semantics={semantics!r} (fused kernel is compat-only)"
+    are run constants computed in XLA f64 around the kernel; physics
+    carries the LIVE J-A state in the attempt loop), both semantics
+    (physics restricted to the linear/magnetic device set — nonlinear
+    physics devices carry Rs/Bv/charge memory the kernel does not model),
+    BE and trapezoidal integration (trap is physics-only, as in the
+    general engine), store='none' and store='full' (uniform-slot attempt
+    buffer + compaction), and solver knobs that affect the in-kernel math
+    only through scalars baked at trace time (temp, reltol/abstol/max_iter
+    are supported)."""
+    if semantics not in ("compat", "physics"):
+        return f"semantics={semantics!r}"
     if store not in ("none", "full"):
         return f"store={store!r} (fused path supports 'none' and 'full')"
-    if opts.integration != "be":
-        return (f"integration={opts.integration!r} (fused kernel is "
-                "backward-Euler only)")
+    if opts.integration not in ("be", "trap"):
+        return f"integration={opts.integration!r}"
+    if opts.integration == "trap" and semantics != "physics":
+        return ("integration='trap' requires semantics='physics' "
+                "(compat reproduces the reference's backward Euler)")
     extra = set(cc.idx.keys()) - FUSED_KINDS
     if extra:
         return f"device kinds {sorted(extra)} not supported by the kernel"
+    if semantics == "physics":
+        nl_kinds = {"D", "Q", "M"} & set(cc.idx.keys())
+        if nl_kinds:
+            return (f"physics-mode nonlinear devices {sorted(nl_kinds)} "
+                    "(the fused physics path covers R/C/L/V/I/LM/K; "
+                    "physics Rs/Bv/charge-memory devices run the general "
+                    "engine)")
     if params is not None:
         # the kernel statically skips junction-cap math for devices whose
         # deck model leaves cj/cbs/cbd at 0 (see _layout m_jcap); an
@@ -863,7 +876,7 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
     return x_hi, x_lo, k, conv > 0, jnp.stack([jvs_hi, jvs_lo])
 
 
-def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
+def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk, mode,
                   const_hi, const_lo, dyn_hi, dyn_lo,
                   st_hi, st_lo, jv_hi, jv_lo, cpu_build=False):
     """One whole transient attempt as a pure array function:
@@ -891,11 +904,43 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
     dt = dyn(0)
     dtinv = _df_recip(*dt)
 
+    f32c = jnp.float32
+
+    def _df_twice(p):  # exact x2 on both limbs
+        return (p[0] * f32c(2.0), p[1] * f32c(2.0))
+
     g = [const(L["g"] + k) for k in range(nr_)]
-    geq = [_df_mul(*const(L["cadj"] + k), *dtinv) for k in range(nc_)]
-    ceq = [_df_mul(*st(L["c_q1"] + k), *dtinv) for k in range(nc_)]
-    lterm = [_df_mul(*const(L["lval"] + k), *dtinv) for k in range(nl_)]
-    lrhs = [_df_mul(*lterm[k], *st(L["l_i1"] + k)) for k in range(nl_)]
+    if mode == "phys_trap":
+        # trapezoidal companions (assemble.py physics/trap forms), first
+        # committed step BE via the hist flag: C geq = 2C_t/dt with
+        # Ieq = geq*v0 + i0; L branch -2L/dt with RHS lcoef*i1 + v0
+        geq, ceq, lterm, lrhs = [], [], [], []
+        for k in range(nc_):
+            base = _df_mul(*const(L["cadj"] + k), *dtinv)
+            started = st(L["c_hist"] + k)[0] > 0
+            gk = _df_where(started, _df_twice(base), base)
+            ceq_tr = _df_add(*_df_mul(*gk, *st(L["c_v0"] + k)),
+                             *st(L["c_i0"] + k))
+            ceq_be = _df_mul(*st(L["c_q0"] + k), *dtinv)
+            geq.append(gk)
+            ceq.append(_df_where(started, ceq_tr, ceq_be))
+        for k in range(nl_):
+            base = _df_mul(*const(L["lval"] + k), *dtinv)
+            started = st(L["l_hist"] + k)[0] > 0
+            lk = _df_where(started, _df_twice(base), base)
+            rhs = _df_add(*_df_mul(*lk, *st(L["l_i1"] + k)),
+                          *_df_where(started, st(L["l_v0"] + k),
+                                     (zero, zero)))
+            lterm.append(lk)
+            lrhs.append(rhs)
+    else:
+        # BE companions; compat uses the reference's one-step-lagged q1
+        # (PLAN.md 3), physics the previous accepted step's q0
+        qrow_key = "c_q1" if mode == "compat" else "c_q0"
+        geq = [_df_mul(*const(L["cadj"] + k), *dtinv) for k in range(nc_)]
+        ceq = [_df_mul(*st(L[qrow_key] + k), *dtinv) for k in range(nc_)]
+        lterm = [_df_mul(*const(L["lval"] + k), *dtinv) for k in range(nl_)]
+        lrhs = [_df_mul(*lterm[k], *st(L["l_i1"] + k)) for k in range(nl_)]
     vsrc = [dyn(1 + k) for k in range(nv_)]
     isrc = [dyn(1 + nv_ + k) for k in range(ni_)]
     # magnetic-inductor and mutual-coupling rows: precomputed per attempt in
@@ -1024,7 +1069,8 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
         lo_rows = ([x_lo[r] for r in range(n)] + [worst[1], zero, zero])
     xlte = jnp.stack([jnp.stack(hi_rows), jnp.stack(lo_rows)])
 
-    # --- commit candidates (compat: capacitor.go:155-171, inductor.go:81-114)
+    # --- commit candidates (compat: capacitor.go:155-171, inductor.go:81-114;
+    # physics: engine/state.py make_commit forms)
     # default: pass the input state through (also covers the dummy row when
     # the circuit has no C/L state at all)
     out_rows_hi = [st_hi[r, :] for r in range(st_hi.shape[0])]
@@ -1033,6 +1079,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
     def put(r, p):
         out_rows_hi[r], out_rows_lo[r] = p
 
+    one_pair = (jnp.ones(lanes, dtype=f32), zero)
     for k in range(nc_):
         n1, n2 = layout["c_nodes"][k]
         vd = diff_x(n1, n2)
@@ -1040,15 +1087,39 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
         put(L["c_v1"] + k, st(L["c_v0"] + k))
         put(L["c_q0"] + k, _df_mul(*const(L["craw"] + k), *vd))
         put(L["c_q1"] + k, st(L["c_q0"] + k))
+        if mode != "compat":
+            dv = _df_add(*vd, *_df_neg(st(L["c_v0"] + k)))
+            if mode == "phys_be":
+                # BE current with the RAW C (engine/state.py:140)
+                i_new = _df_mul(*_df_mul(*const(L["craw"] + k), *dv), *dtinv)
+            else:
+                # trap current recursion with the temperature-adjusted C
+                # (must match the stamp — the TR recursion is marginally
+                # stable); first committed step BE
+                i_be = _df_mul(*_df_mul(*const(L["cadj"] + k), *dv), *dtinv)
+                i_tr = _df_add(*_df_twice(i_be),
+                               *_df_neg(st(L["c_i0"] + k)))
+                started = st(L["c_hist"] + k)[0] > 0
+                i_new = _df_where(started, i_tr, i_be)
+            put(L["c_i0"] + k, i_new)
+            put(L["c_hist"] + k, one_pair)
     c1e9 = _df_const(1e-9, lanes)
     for k in range(nl_):
         n1, n2 = layout["l_nodes"][k]
         vd = diff_x(n1, n2)
-        linv = const(L["linv"] + k)
-        # LoadState then UpdateState: i1' = i1 + vd·dt/L ; i0' = vd·1e-9/L
-        put(L["l_i1"] + k,
-            _df_add(*st(L["l_i1"] + k), *_df_mul(*_df_mul(*vd, *dt), *linv)))
-        put(L["l_i0"] + k, _df_mul(*_df_mul(*vd, *c1e9), *linv))
+        if mode == "compat":
+            linv = const(L["linv"] + k)
+            # LoadState then UpdateState: i1' = i1 + vd·dt/L ; i0' = vd·1e-9/L
+            put(L["l_i1"] + k,
+                _df_add(*st(L["l_i1"] + k),
+                        *_df_mul(*_df_mul(*vd, *dt), *linv)))
+            put(L["l_i0"] + k, _df_mul(*_df_mul(*vd, *c1e9), *linv))
+        else:
+            # physics: the branch unknown IS the current (x_b = -I)
+            i_new = _df_neg(xrow(layout["l_branch"][k]))
+            put(L["l_i0"] + k, i_new)
+            put(L["l_i1"] + k, i_new)
+            put(L["l_hist"] + k, one_pair)
         put(L["l_v0"] + k, vd)
         put(L["l_v1"] + k, st(L["l_v0"] + k))
         put(L["l_flux0"] + k, _df_mul(*vd, *dt))
@@ -1059,7 +1130,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk,
 
 
 @_unpinned
-def _fused_kernel(n, counts, layout, cells, rhs_cells, cfgk, dus_build,
+def _fused_kernel(n, counts, layout, cells, rhs_cells, cfgk, mode, dus_build,
                   const_hi_ref, const_lo_ref, dyn_hi_ref, dyn_lo_ref,
                   st_hi_ref, st_lo_ref, jv_hi_ref, jv_lo_ref,
                   xlte_ref, stout_ref, jvout_ref):
@@ -1075,7 +1146,7 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells, cfgk, dus_build,
     # (hi+ulp, lo-of-hi) that are off by 2^-23 relative (observed in
     # interpret mode on rl decks).
     xlte, stout, jvout = _attempt_core(
-        n, counts, layout, cells, rhs_cells, cfgk,
+        n, counts, layout, cells, rhs_cells, cfgk, mode,
         const_hi_ref[...], const_lo_ref[...],
         dyn_hi_ref[...], dyn_lo_ref[...],
         st_hi_ref[...], st_lo_ref[...],
@@ -1088,8 +1159,10 @@ def _fused_kernel(n, counts, layout, cells, rhs_cells, cfgk, dus_build,
 # ----------------------------------------------------------------- wrapper
 
 
-def _layout(cc):
-    """Row offsets inside the const and state stacks."""
+def _layout(cc, physics: bool = False):
+    """Row offsets inside the const and state stacks.  ``physics`` appends
+    the extra committed-state rows the corrected-physics companions carry
+    (capacitor current + first-step flags for the trapezoidal forms)."""
     nr_ = cc.kind_count("R") if "R" in cc.idx else 0
     nc_ = cc.kind_count("C") if "C" in cc.idx else 0
     nl_ = cc.kind_count("L") if "L" in cc.idx else 0
@@ -1150,10 +1223,16 @@ def _layout(cc):
               "l_i0": 4 * nc_, "l_i1": 4 * nc_ + nl_, "l_v0": 4 * nc_ + 2 * nl_,
               "l_v1": 4 * nc_ + 3 * nl_, "l_flux0": 4 * nc_ + 4 * nl_})
     n_state = 4 * nc_ + 5 * nl_
+    if physics:
+        L.update({"c_i0": n_state, "c_hist": n_state + nc_,
+                  "l_hist": n_state + 2 * nc_})
+        n_state += 2 * nc_ + nl_
     L["c_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["C"]["nodes"])]
                     if nc_ else [])
     L["l_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["L"]["nodes"])]
                     if nl_ else [])
+    L["l_branch"] = ([int(v) for v in np.asarray(cc.idx["L"]["branch"])]
+                     if nl_ else [])
     L["d_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["D"]["nodes"])]
                     if nd_ else [])
     L["q_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["Q"]["nodes"])]
@@ -1198,14 +1277,24 @@ def _lanes(leaf, nk, bp):
 
 
 def make_tran_fused(cc, cfg, opts, block: int | None = None,
-                    store: str = "none", resume: bool = False):
+                    store: str = "none", resume: bool = False,
+                    semantics: str = "compat"):
     """Batched fused transient for eligible circuits.
 
     Returns fn(params, state0) -> TranOutput with a leading batch axis on
     every per-instance field.  `params` leaves are (nk,) shared or (B, nk)
     batched; `state0` is the unbatched init_state(cc) dict (or (B, nk)
-    leaves).  Semantics: exactly engine/tran.py compat/BE (the control flow
-    below is a line-for-line counterpart; state/LTE/solve run in-kernel).
+    leaves).  Semantics: exactly engine/tran.py (the control flow below is
+    a line-for-line counterpart; state/LTE/solve run in-kernel).  Both
+    semantics fuse for the linear/magnetic device set: ``compat`` (default,
+    reference-exact BE) and ``physics`` — the corrected variant with BE or
+    trapezoidal companions (opts.integration), bias-point state seeding,
+    end-of-interval source evaluation under trap, and LIVE Jiles-Atherton
+    core state: the J-A update (magnetic.go:88-132 as used by
+    engine/state.py make_commit) runs in exact XLA f64 in the attempt loop
+    carry, feeding the kernel per-attempt branch-row values.  Nonlinear
+    devices (D/Q/M) under physics stay on the general engine
+    (fused_ineligible_reason).
 
     resume=True mirrors make_tran's resume flavor: fn(params, state0, t0,
     jv0) continues a checkpointed run — the OP re-bias is skipped, the
@@ -1225,6 +1314,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     reports the truncation per-lane in TranOutput.store_overflow.
     """
     from ..engine.op import make_op
+    from ..engine.state import make_op_seed
     from ..engine.tran import TranOutput
     from ..models.sources import eval_sources_lanes
     from ..models import bjt as bjt_model
@@ -1232,7 +1322,13 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     from ..models import magnetic as mag_model
     from ..models.limiter import vcrit as vcrit_fn
 
-    counts, layout, n_const, n_state = _layout(cc)
+    physics = semantics == "physics"
+    trap = physics and opts.integration == "trap"
+    if opts.integration == "trap" and not physics:
+        raise ValueError("trapezoidal integration requires semantics='physics'"
+                         " (compat reproduces the reference's backward Euler)")
+    mode = "phys_trap" if trap else ("phys_be" if physics else "compat")
+    counts, layout, n_const, n_state = _layout(cc, physics=physics)
     nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     nonlin = bool(nd_ or nq_ or nm_)
     n = cc.np1
@@ -1245,10 +1341,15 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     # (see _attempt_core) to avoid the concatenate-fusion compile explosion;
     # real Mosaic keeps the stack build.
     kernel = functools.partial(
-        _fused_kernel, n, counts, layout, cells, rhs_cells, cfgk,
+        _fused_kernel, n, counts, layout, cells, rhs_cells, cfgk, mode,
         os.environ.get("TOYSPICE_TRAN_KERNEL_BUILD") == "dus")
     extra = 2 if nonlin else 0  # xlte rows: NR iter count + converged flag
-    op_execute = make_op(cc, opts)[0] if nonlin else None
+    # physics non-UIC transients also need the OP: the bias point seeds the
+    # committed state (engine/tran.py:114-116) even for linear decks
+    need_op = nonlin or (physics and not cfg.uic and not resume)
+    op_execute = (make_op(cc, opts, semantics=semantics)[0]
+                  if need_op else None)
+    op_seed = make_op_seed(cc, opts.temp) if physics else None
     # lanes per grid block (rounded up to a multiple of 1024 = 8 sublanes x
     # 128 lanes).  Linear decks are bandwidth/pipeline-bound and like small
     # blocks (v5e 8192-way rlc: 1024 -> ~285M steps/s, 8192 -> 223M).
@@ -1327,10 +1428,42 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         pv = pad_src(params["V"]) if nv_ else None
         pi = pad_src(params["I"]) if ni_ else None
 
-        # ---- magnetic-inductor / mutual-coupling run constants (compat
-        # freezes the J-A core state, PLAN.md 1, so everything except the
+        # ---- OP bias point (tran.go:57-75) through the general XLA engine,
+        # rescue ladders included.  Runs BEFORE any state-derived tables:
+        # physics non-UIC transients seed the committed state from the bias
+        # solution (engine/tran.py:111-116), which the LM carry and the
+        # state stack below must see. ----
+        paxes = {kind: {k: (0 if jnp.asarray(v).ndim
+                            == (3 if k in ("pwl_t", "pwl_v") else 2)
+                            else None)
+                        for k, v in tbl.items()}
+                 for kind, tbl in params.items()}
+        saxes0 = {kind: {k: (0 if jnp.asarray(v).ndim == 2 else None)
+                         for k, v in tbl.items()}
+                  for kind, tbl in state0.items()}
+        mapped = any(a == 0
+                     for t in list(paxes.values()) + list(saxes0.values())
+                     for a in t.values())
+        opr = None
+        if need_op and not resume and not cfg.uic:
+            if mapped:
+                opr = jax.vmap(op_execute, in_axes=(paxes, saxes0))(
+                    params, state0)
+            else:
+                opr = op_execute(params, state0)
+            if physics:
+                if mapped:
+                    state0 = jax.vmap(op_seed, in_axes=(paxes, saxes0, 0))(
+                        params, state0, opr.x)
+                else:
+                    state0 = op_seed(params, state0, opr.x)
+
+        # ---- magnetic-inductor / mutual-coupling values.  compat freezes
+        # the J-A core state (PLAN.md 1), so everything except the
         # per-attempt /dt scaling and the t<dt L0 gate is loop-invariant;
-        # all math here is exact XLA f64, matching ops/assemble.py) ----
+        # physics carries the LIVE core + winding state through the attempt
+        # loop (exact XLA f64, matching ops/assemble.py + make_commit) and
+        # recomputes the branch/mutual values per attempt ----
         if nlm_:
             pml_lm = {k: _lanes(params["LM"][k], nlm_, bp)
                       for k in ("turns", "ms", "alpha", "a", "c", "k",
@@ -1341,15 +1474,24 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 return (jnp.zeros((nlm_, bp), dtype=jnp.float64)
                         if leaf is None else _lanes(leaf, nlm_, bp))
 
-            lm_i0 = lmrow("i0")
-            lm_i1 = lmrow("i1")
-            core0 = mag_model.CoreState(
-                H=lmrow("H"), Hold=lmrow("Hold"), M=lmrow("M"),
-                Mirr=lmrow("Mirr"), dMdH=lmrow("dMdH"))
             lm_l0 = jnp.broadcast_to(mag_model.l_zero(pml_lm), (nlm_, bp))
-            lm_leff, _ = mag_model.l_effective(pml_lm, core0, lm_i0,
-                                               jnp.float64(temp))
-            lm_leff = jnp.broadcast_to(lm_leff, (nlm_, bp))
+            if physics:
+                lm0 = {key: lmrow(key)
+                       for key in ("i0", "i1", "v0", "v1", "flux0",
+                                   "H", "Hold", "M", "Mirr", "dMdH")}
+                lm_core_id = np.asarray(cc.idx["LM"]["core_id"])
+                lm_ncores = int(lm_core_id.max()) + 1
+                lm_nodes_np = np.asarray(cc.idx["LM"]["nodes"])
+                lm_branch_np = np.asarray(cc.idx["LM"]["branch"])
+            else:
+                lm_i0 = lmrow("i0")
+                lm_i1 = lmrow("i1")
+                core0 = mag_model.CoreState(
+                    H=lmrow("H"), Hold=lmrow("Hold"), M=lmrow("M"),
+                    Mirr=lmrow("Mirr"), dMdH=lmrow("dMdH"))
+                lm_leff, _ = mag_model.l_effective(pml_lm, core0, lm_i0,
+                                                   jnp.float64(temp))
+                lm_leff = jnp.broadcast_to(lm_leff, (nlm_, bp))
         if nk_:
             kidx = cc.idx["K"]
             ka = np.asarray(kidx["kind_a"])
@@ -1357,19 +1499,24 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             kb = np.asarray(kidx["kind_b"])
             ib = np.asarray(kidx["idx_b"])
             lval_lanes = _lanes(params["L"]["value"], nl_, bp) if nl_ else None
-            lm_vm = (jnp.broadcast_to(
-                mag_model.value_for_mutual(pml_lm, core0, lm_i0,
-                                           jnp.float64(temp)),
-                (nlm_, bp)) if nlm_ else None)
+            kcoeff_lanes = _lanes(params["K"]["coeff"], nk_, bp)
 
             def pick_pairs(kinds, idxs, lin_tbl, mag_tbl):
                 # static per-pair partner selection (compiler kind 0 = L)
                 return jnp.stack([lin_tbl[i] if kk == 0 else mag_tbl[i]
                                   for kk, i in zip(kinds, idxs)])
 
-            la_k = pick_pairs(ka, ia, lval_lanes, lm_vm)
-            lb_k = pick_pairs(kb, ib, lval_lanes, lm_vm)
-            mij_k = _lanes(params["K"]["coeff"], nk_, bp) * jnp.sqrt(la_k * lb_k)
+            if not physics:
+                lm_vm = (jnp.broadcast_to(
+                    mag_model.value_for_mutual(pml_lm, core0, lm_i0,
+                                               jnp.float64(temp)),
+                    (nlm_, bp)) if nlm_ else None)
+                la_k = pick_pairs(ka, ia, lval_lanes, lm_vm)
+                lb_k = pick_pairs(kb, ib, lval_lanes, lm_vm)
+                mij_k = kcoeff_lanes * jnp.sqrt(la_k * lb_k)
+            else:
+                # static pair metadata for the per-attempt physics values
+                k_both_linear = (ka == 0) & (kb == 0)
 
         # ---- const stack (attempt-invariant, split to df once) ----
         rows = []
@@ -1485,22 +1632,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 jv64 = jnp.zeros((nd_ + 2 * nq_ + 3 * nm_, bp),
                                  dtype=jnp.float64)
             else:
-                paxes = {kind: {k: (0 if jnp.asarray(v).ndim
-                                    == (3 if k in ("pwl_t", "pwl_v") else 2)
-                                    else None)
-                                for k, v in tbl.items()}
-                         for kind, tbl in params.items()}
-                saxes = {kind: {k: (0 if jnp.asarray(v).ndim == 2 else None)
-                                for k, v in tbl.items()}
-                         for kind, tbl in state0.items()}
-                mapped = any(a == 0
-                             for t in list(paxes.values()) + list(saxes.values())
-                             for a in t.values())
-                if mapped:
-                    opr = jax.vmap(op_execute, in_axes=(paxes, saxes))(
-                        params, state0)
-                else:
-                    opr = op_execute(params, state0)
+                # opr computed above (before the state-derived tables)
                 jrows = []
                 if nd_:
                     jrows.append(_lanes(opr.jv["D"]["vd"], nd_, bp))
@@ -1533,6 +1665,13 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             srows += [srow("L", "i0", nl_), srow("L", "i1", nl_),
                       srow("L", "v0", nl_), srow("L", "v1", nl_),
                       srow("L", "flux0", nl_)]
+        if physics:
+            # extra committed rows the physics companions read/write
+            # (_layout physics=True): C current + hist, L hist
+            if nc_:
+                srows += [srow("C", "i0", nc_), srow("C", "hist", nc_)]
+            if nl_:
+                srows += [srow("L", "hist", nl_)]
         st64 = (jnp.concatenate(srows, axis=0) if srows
                 else jnp.zeros((1, bp), dtype=jnp.float64))
         st_hi0, st_lo0 = _hi_lo(st64)
@@ -1569,7 +1708,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         def attempt_xla(dyn64, st_hi, st_lo, jv_hi, jv_lo):
             dyn_hi, dyn_lo = _hi_lo(dyn64)
             xlte, stout, jvout = _attempt_core(
-                n, counts, layout, cells, rhs_cells, cfgk,
+                n, counts, layout, cells, rhs_cells, cfgk, mode,
                 const_hi, const_lo, fold(dyn_hi), fold(dyn_lo),
                 st_hi, st_lo, jv_hi, jv_lo, cpu_build=True)
             return (xlte[0], xlte[1], stout[0], stout[1],
@@ -1620,6 +1759,9 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             attempts=jnp.zeros(bp, dtype=jnp.int32),
             nr_iters=jnp.zeros(bp, dtype=jnp.int32),
         )
+        if nlm_ and physics:
+            # live magnetic winding + J-A core state, exact f64 in the carry
+            carry0["lm"] = lm0
         if store == "full":
             # One slot-indexed value buffer: rows [x_hi(n), x_lo(n),
             # t(3)] — t crosses as an EXACT triple-float split (24+24+4
@@ -1659,15 +1801,18 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             next_t = jnp.minimum(t + dt, cfg.tstop)
             dt_eff = jnp.where(t + dt > cfg.tstop, cfg.tstop - t, dt)
 
-            # sources at the OLD time t (PLAN.md 2), exact f64
+            # sources at the OLD time t (PLAN.md 2); trapezoidal physics
+            # evaluates at the END of the interval for 2nd-order accuracy
+            # with driven circuits (engine/tran.py:147).  Exact f64.
+            t_src = next_t if trap else t
             drows = [dt_eff[None, :]]
             if nv_:
                 drows.append(eval_sources_lanes(
-                    cc.idx["V"]["stype"], pv, t, bp))
+                    cc.idx["V"]["stype"], pv, t_src, bp))
             if ni_:
                 drows.append(eval_sources_lanes(
-                    cc.idx["I"]["stype"], pi, t, bp))
-            if nlm_:
+                    cc.idx["I"]["stype"], pi, t_src, bp))
+            if nlm_ and not physics:
                 # magnetic branch value: the |i0|<1e-9 guard always holds in
                 # compat (i0 frozen at 0) but the t<dt gate and a nonzero
                 # user-provided i0 are honored exactly (assemble.py LM tran)
@@ -1676,19 +1821,68 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 lmterm = l_used / dt_eff
                 drows.append(lmterm)
                 drows.append(lmterm * lm_i1)
+            elif nlm_:
+                # physics: incremental inductance from the carried core
+                # state (assemble.py LM physics branch), LM rows stay BE
+                dmdh = jnp.clip(c["lm"]["dMdH"], -1e3, 1e3)
+                l_used = jnp.maximum(1e-12, lm_l0 * (1.0 + dmdh))
+                lmterm = l_used / dt_eff
+                drows.append(lmterm)
+                drows.append(lmterm * c["lm"]["i1"])
             if nk_:
-                # mutual cross term M/dt (stamped with s=-1 in-kernel) and
-                # the reference's junk-i0 RHS memory (mutual.go:114-115):
-                # linear-L partners read the live in-kernel committed i0
                 st64b = (c["st_hi"].astype(f64)
                          + c["st_lo"].astype(f64)).reshape(ks, bp)
-                l_i0_dyn = (st64b[layout["l_i0"]:layout["l_i0"] + nl_]
-                            if nl_ else None)
-                i0a = pick_pairs(ka, ia, l_i0_dyn, lm_i0 if nlm_ else None)
-                i0b = pick_pairs(kb, ib, l_i0_dyn, lm_i0 if nlm_ else None)
-                drows.append(mij_k / dt_eff)
-                drows.append(-mij_k * i0b / dt_eff)
-                drows.append(-mij_k * i0a / dt_eff)
+                if not physics:
+                    # mutual cross term M/dt (stamped with s=-1 in-kernel)
+                    # and the reference's junk-i0 RHS memory
+                    # (mutual.go:114-115): linear-L partners read the live
+                    # in-kernel committed i0
+                    l_i0_dyn = (st64b[layout["l_i0"]:layout["l_i0"] + nl_]
+                                if nl_ else None)
+                    i0a = pick_pairs(ka, ia, l_i0_dyn,
+                                     lm_i0 if nlm_ else None)
+                    i0b = pick_pairs(kb, ib, l_i0_dyn,
+                                     lm_i0 if nlm_ else None)
+                    drows.append(mij_k / dt_eff)
+                    drows.append(-mij_k * i0b / dt_eff)
+                    drows.append(-mij_k * i0a / dt_eff)
+                else:
+                    # physics mutual: per-attempt values from the live core
+                    # (assemble.py _gather_inductance physics branch) with
+                    # the consistent +M/dt·I1 memory; trap upgrades
+                    # both-linear pairs to 2M/dt after their windings have
+                    # history (assemble.py K trap block)
+                    l_i1_dyn = (st64b[layout["l_i1"]:layout["l_i1"] + nl_]
+                                if nl_ else None)
+                    lmv_dyn = None
+                    if nlm_:
+                        dmdh_k = jnp.clip(c["lm"]["dMdH"], -1e3, 1e3)
+                        lmv_dyn = jnp.maximum(
+                            1e-12, lm_l0 * (1.0 + dmdh_k))
+                    la_p = pick_pairs(ka, ia, lval_lanes, lmv_dyn)
+                    lb_p = pick_pairs(kb, ib, lval_lanes, lmv_dyn)
+                    mij = kcoeff_lanes * jnp.sqrt(la_p * lb_p)
+                    i1a = pick_pairs(ka, ia, l_i1_dyn,
+                                     c["lm"]["i1"] if nlm_ else None)
+                    i1b = pick_pairs(kb, ib, l_i1_dyn,
+                                     c["lm"]["i1"] if nlm_ else None)
+                    if trap and nl_:
+                        l_hist_dyn = st64b[
+                            layout["l_hist"]:layout["l_hist"] + nl_]
+                        nlc = max(1, nl_)
+                        iac = np.minimum(ia, nlc - 1)
+                        ibc = np.minimum(ib, nlc - 1)
+                        started_k = ((l_hist_dyn[iac] > 0)
+                                     & (l_hist_dyn[ibc] > 0))
+                        use_tr = (jnp.asarray(k_both_linear)[:, None]
+                                  & started_k)
+                        mcoef = jnp.where(use_tr, 2.0 * mij / dt_eff,
+                                          mij / dt_eff)
+                    else:
+                        mcoef = mij / dt_eff
+                    drows.append(mcoef)
+                    drows.append(mcoef * i1b)
+                    drows.append(mcoef * i1a)
             if nonlin:
                 # active-lane mask for the in-kernel Newton loop (inactive
                 # lanes skip NR entirely instead of spinning to max_iter)
@@ -1746,6 +1940,30 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 attempts=c["attempts"] + active.astype(jnp.int32),
                 nr_iters=c["nr_iters"] + nr_it * active.astype(jnp.int32),
             )
+            if nlm_ and physics:
+                # live magnetic commit (engine/state.py make_commit LM
+                # physics): windings on a shared core see the core's TOTAL
+                # magnetomotive force, every J-A guard included
+                xf = (xlte_hi[:n].astype(f64) + xlte_lo[:n].astype(f64))
+                vd_lm = xf[lm_nodes_np[:, 0]] - xf[lm_nodes_np[:, 1]]
+                i_new = -xf[lm_branch_np]
+                mmf = jax.ops.segment_sum(
+                    pml_lm["turns"] * i_new, lm_core_id,
+                    num_segments=lm_ncores)[lm_core_id]
+                h = jnp.clip(mmf / pml_lm["len"], -1e6, 1e6)
+                core_st = mag_model.CoreState(
+                    H=c["lm"]["H"], Hold=c["lm"]["Hold"], M=c["lm"]["M"],
+                    Mirr=c["lm"]["Mirr"], dMdH=c["lm"]["dMdH"])
+                _, _, core2 = mag_model.ja_calculate(pml_lm, core_st, h,
+                                                     300.15)
+                lm_new = dict(
+                    i0=i_new, i1=c["lm"]["i0"], v0=vd_lm, v1=c["lm"]["v0"],
+                    flux0=c["lm"]["flux0"] + vd_lm * dt_eff,
+                    H=core2.H, Hold=core2.Hold, M=core2.M, Mirr=core2.Mirr,
+                    dMdH=core2.dMdH)
+                out["lm"] = {key: jnp.where(acc_act[None, :], v,
+                                            c["lm"][key])
+                             for key, v in lm_new.items()}
             if store == "full":
                 keep = acc_act & (next_t >= cfg.tstart)
                 slot = jnp.minimum(c["it"], la)  # la = trash row (overshoot)
@@ -1782,24 +2000,37 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
 
         state = {}
         if nc_:
-            hist0 = srow("C", "hist", nc_)[:, :b].T
-            i00 = srow("C", "i0", nc_)[:, :b].T
             started = (c["accepted"][:b] > 0)[:, None]
+            if physics:
+                i00 = grab(layout["c_i0"], nc_)
+                hist_c = grab(layout["c_hist"], nc_)
+            else:
+                i00 = srow("C", "i0", nc_)[:, :b].T
+                hist_c = jnp.where(started, 1.0,
+                                   srow("C", "hist", nc_)[:, :b].T)
             state["C"] = {
                 "q0": grab(layout["c_q0"], nc_), "q1": grab(layout["c_q1"], nc_),
                 "v0": grab(layout["c_v0"], nc_), "v1": grab(layout["c_v1"], nc_),
-                "i0": i00, "hist": jnp.where(started, 1.0, hist0),
+                "i0": i00, "hist": hist_c,
             }
         if nl_:
-            hist0 = srow("L", "hist", nl_)[:, :b].T
             started = (c["accepted"][:b] > 0)[:, None]
+            if physics:
+                hist_l = grab(layout["l_hist"], nl_)
+            else:
+                hist_l = jnp.where(started, 1.0,
+                                   srow("L", "hist", nl_)[:, :b].T)
             state["L"] = {
                 "i0": grab(layout["l_i0"], nl_), "i1": grab(layout["l_i1"], nl_),
                 "v0": grab(layout["l_v0"], nl_), "v1": grab(layout["l_v1"], nl_),
                 "flux0": grab(layout["l_flux0"], nl_),
-                "hist": jnp.where(started, 1.0, hist0),
+                "hist": hist_l,
             }
-        if nlm_ and "LM" in state0:
+        if nlm_ and physics:
+            # live state from the f64 carry
+            state["LM"] = {k: jnp.transpose(v[:, :b], (1, 0))
+                           for k, v in c["lm"].items()}
+        elif nlm_ and "LM" in state0:
             # compat never commits magnetic-inductor state (PLAN.md 1):
             # pass state0 through, broadcast to the batch
             state["LM"] = {k: _lanes(state0["LM"][k], nlm_, bp)[:, :b].T

@@ -14,13 +14,10 @@ test:
 	python -m pytest tests/ -q
 
 test-slow:
-	python -m pytest tests/ -q -m "slow and not heavy"
-
-test-heavy:
-	python -m pytest tests/ -q -m heavy
+	python -m pytest tests/ -q -m "slow"
 
 test-all:
-	python -m pytest tests/ -q -m "(slow or not slow) and not heavy"
+	python -m pytest tests/ -q -m "slow or not slow"
 
 bench:
 	python bench.py

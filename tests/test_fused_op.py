@@ -1,0 +1,153 @@
+"""Fused OP/Newton kernel (ops/pallas_op.py) vs the general engine.
+
+Runs the IDENTICAL _op_core math through plain XLA (TOYSPICE_TRAN_IMPL=xla)
+on the CPU test platform — Pallas interpret mode evaluates the in-kernel
+Newton loop eagerly and is intractable here; the real-kernel parity runs on
+TPU via tests/tools/ab_fused_op.py (regress_tpu.py).  Asserts convergence /
+rescue-stage agreement and solution agreement within the double-float noise
+class (the general engine solves in f64, the fused path in ~48-bit df).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+import jax
+import jax.numpy as jnp
+
+from toyspice_tpu.compiler import compile_circuit
+from toyspice_tpu.netlist.parser import parse
+from toyspice_tpu.engine.batch import batch_params
+from toyspice_tpu.engine.op import make_op
+from toyspice_tpu.engine.dc import make_dc
+from toyspice_tpu.engine.options import DEFAULTS, SimOptions
+from toyspice_tpu.engine.state import init_state
+from toyspice_tpu.ops.pallas_op import (make_dc_fused, make_op_fused,
+                                        op_fused_eligible,
+                                        op_fused_ineligible_reason)
+
+
+@pytest.fixture(autouse=True)
+def _xla_impl():
+    saved = os.environ.get("TOYSPICE_TRAN_IMPL")
+    os.environ["TOYSPICE_TRAN_IMPL"] = "xla"
+    yield
+    if saved is None:
+        os.environ.pop("TOYSPICE_TRAN_IMPL", None)
+    else:
+        os.environ["TOYSPICE_TRAN_IMPL"] = saved
+
+
+D_DIV = """* diode divider
+.op
+Vin 1 0 DC 2
+R1 1 2 1k
+D1 2 0 DM
+.model DM D (Is=1e-14 N=1.2)
+"""
+
+Q_BIAS = """* BJT bias (bjt1-like)
+.op
+VCC 1 0 DC 10
+RB 1 2 47k
+Q1 3 2 0 QN
+RC 1 3 2.2k
+.model QN NPN(Bf=100 Vaf=100)
+"""
+
+M_BIAS = """* MOSFET bias
+.op
+VDD 1 0 DC 5
+VG 2 0 DC 2
+RD 1 3 10k
+M1 3 2 0 0 NM L=2u W=20u
+.model NM NMOS(Level=1 VTO=0.7 KP=20u LAMBDA=0.01)
+"""
+
+D_DC = """* diode dc sweep (diode3-like)
+.dc Vin 0 1.0 0.2
+Vin 1 0 DC 0
+D1 1 2 DM
+R1 2 0 1k
+.model DM D (Is=1e-14)
+"""
+
+
+def _ab_op(deck, overrides=None, rescue=True):
+    """rescue=False skips tracing the fused rescue ladders — many minutes
+    of XLA CPU compile per BJT/MOSFET deck (see make_op_fused); the ladder
+    path is covered by the diode test here and the on-TPU A/B.  The decks
+    converge at stage 0, so results are unaffected (asserted)."""
+    cc = compile_circuit(parse(deck))
+    assert op_fused_eligible(cc, "compat", DEFAULTS)
+    params, axes = batch_params(cc, overrides or {})
+    state0 = init_state(cc)
+    op_g, _ = make_op(cc, DEFAULTS)
+    if overrides:
+        rg = jax.jit(jax.vmap(lambda p: op_g(p, state0),
+                              in_axes=(axes,)))(params)
+    else:
+        rg = jax.jit(op_g)(params, state0)
+    rf = jax.jit(make_op_fused(cc, DEFAULTS, rescue=rescue))(params, state0)
+    if not rescue:
+        assert bool(np.all(np.asarray(rg.stage) == 0)), (
+            "rescue=False A/B needs a stage-0 deck")
+    xg = np.atleast_2d(np.asarray(rg.x))
+    xf = np.asarray(rf.x)
+    np.testing.assert_array_equal(np.asarray(rf.converged).ravel(),
+                                  np.asarray(rg.converged).ravel())
+    np.testing.assert_array_equal(np.asarray(rf.stage).ravel(),
+                                  np.asarray(rg.stage).ravel())
+    np.testing.assert_allclose(xf, xg, rtol=1e-9,
+                               atol=1e-9 * max(1.0, np.abs(xg).max()))
+    # jv parity: the warm-start handoff consumers (AC bias, transient)
+    for kind in rg.jv:
+        for key in rg.jv[kind]:
+            jg = np.atleast_2d(np.asarray(rg.jv[kind][key]))
+            jf = np.asarray(rf.jv[kind][key])
+            np.testing.assert_allclose(jf, jg, rtol=1e-9, atol=1e-11,
+                                       err_msg=f"jv.{kind}.{key}")
+    return rg, rf
+
+
+def test_op_fused_diode():
+    _ab_op(D_DIV)
+
+
+def test_op_fused_bjt_batched():
+    cc = compile_circuit(parse(Q_BIAS))
+    rv = np.asarray(cc.params["R"]["value"])
+    _ab_op(Q_BIAS, {"R": {"value": rv[None, :] * [[1.0], [0.9], [1.1]]}},
+           rescue=False)
+
+
+def test_op_fused_mosfet():
+    _ab_op(M_BIAS, rescue=False)
+
+
+def test_op_fused_eligibility():
+    lin = compile_circuit(parse(
+        "* lin\n.op\nV1 1 0 DC 1\nR1 1 0 1k\n"))
+    assert op_fused_ineligible_reason(lin) is not None
+    assert "physics" in op_fused_ineligible_reason(
+        compile_circuit(parse(D_DIV)), "physics")
+
+
+def test_dc_fused_diode():
+    cc = compile_circuit(parse(D_DC))
+    params, axes = batch_params(
+        cc, {"R": {"value": np.asarray(cc.params["R"]["value"])[None, :]
+                   * [[1.0], [0.8]]}})
+    state0 = init_state(cc)
+    pts = jnp.asarray(np.arange(0.0, 1.01, 0.2))
+    dc_g = make_dc(cc, (0,), DEFAULTS)
+    xs_g, conv_g = jax.jit(jax.vmap(lambda p: dc_g(p, state0, pts),
+                                    in_axes=(axes,)))(params)
+    xs_f, conv_f = jax.jit(
+        lambda p: make_dc_fused(cc, (0,), DEFAULTS)(p, state0, pts))(params)
+    np.testing.assert_array_equal(np.asarray(conv_f), np.asarray(conv_g))
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_g),
+                               rtol=1e-9, atol=1e-10)

@@ -11,13 +11,14 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
-# CPU emulation of the in-kernel Newton (impl=xla / interpret) costs 10-20+
-# minutes of XLA CPU compile PER DECK for BJT/MOSFET/diode bodies on this
-# one-core box.  Those tests carry `heavy` on top of `slow`: run them
-# file-by-file when touching the kernel, or rely on the authoritative
-# on-TPU A/B (tests/tools/ab_fused_tran.py — 12 decks, ~6 min, exact
-# trajectory parity) which covers the same claims on real hardware.
-heavy = pytest.mark.heavy
+# Nonlinear (D/Q/M) kernel parity is NOT emulated on CPU: the impl=xla /
+# interpret emulations cost 10-20+ minutes of XLA CPU compile per deck on
+# this one-core box, so the former `heavy` tier (11 such tests) was deleted
+# in round 4 — the AUTHORITATIVE coverage for the in-kernel Newton is the
+# on-TPU A/B, tests/tools/ab_fused_tran.py (12 decks, ~6 min, exact
+# accepted-trajectory parity) run via tests/tools/regress_tpu.py and
+# recorded in PARITY.md.  This file keeps the linear/magnetic interpret
+# parity (fast) plus eligibility/store/physics coverage.
 
 import jax
 
@@ -205,218 +206,6 @@ def test_fused_eligibility_gates():
     assert not fused_eligible(lmcc, "physics", "none", opts)
 
 
-# ---- diode decks: in-kernel Newton loop (pnjlim + df exp/log) ----
-
-D_RES = """* diode resistive
-.tran 0.05m 0.5m
-Vin 1 0 SIN(0.3 0.5 2k)
-R1 1 2 200
-D1 2 0 DM
-.model DM D (Is=1e-14 N=1.2)
-"""
-
-D_RECT = """* half-wave rectifier with Tt
-.tran 0.05m 0.5m
-Vin 1 0 SIN(0 3 2k)
-R1 1 2 100
-D1 2 3 DF
-R2 3 0 1k
-C1 3 0 50n
-.model DF D (Is=2e-14 N=1.05 Tt=5n)
-"""
-
-
-# Pallas interpret mode evaluates the in-kernel Newton loop eagerly —
-# seconds per attempt — so the diode parity tests run the IDENTICAL
-# _attempt_core math through plain XLA (TOYSPICE_TRAN_IMPL=xla, compiled,
-# fast); a separate tiny smoke covers the kernel ref plumbing in interpret
-# mode, and full-resolution kernel runs happen on real TPU
-# (tests/tools/ab_fused_tran.py).  Coarse step divisors keep the attempt
-# counts small either way.
-_NL_OPTS = SimOptions(trtol=1e9, tstep_divisor=20.0, minstep_divisor=10.0)
-
-
-def _compare_nl(deck, overrides=None, opts=_NL_OPTS, impl="xla"):
-    """Diode-deck A/B: the general engine solves Newton in f64, the fused
-    kernel in double-float, so NR iteration counts may differ by ±1 on
-    knife-edge lanes; accepted/attempt trajectories must still agree on
-    robust decks, and junction voltages to df precision."""
-    os.environ["TOYSPICE_TRAN_UNROLL"] = "1"
-    os.environ["TOYSPICE_TRAN_IMPL"] = impl
-    cc = compile_circuit(parse(deck))
-    assert fused_eligible(cc, "compat", "none", opts)
-    tp = cc.netlist.tran
-    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts)
-    state0 = init_state(cc)
-    if not overrides:
-        overrides = {"R": {"value": np.asarray(cc.params["R"]["value"])[None, :]}}
-    params, axes = batch_params(cc, overrides)
-
-    gen = jax.jit(jax.vmap(make_tran(cc, cfg, store="none", opts=opts),
-                           in_axes=(axes, None)))
-    og = gen(params, state0)
-
-    fused = make_tran_fused(cc, cfg, opts)
-    with pltpu.force_tpu_interpret_mode():
-        of = jax.jit(fused)(params, state0)
-
-    np.testing.assert_array_equal(np.asarray(of.accepted),
-                                  np.asarray(og.accepted))
-    np.testing.assert_array_equal(np.asarray(of.attempts),
-                                  np.asarray(og.attempts))
-    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail))
-    # Diode-only decks: conductances are analytic, both engines take
-    # df-identical Newton iterates, exit jv agrees to df noise.  Any BJT in
-    # the deck switches the bound to reltol-of-NR for EVERY junction: the
-    # numerically differenced Jacobian (models/bjt.py) amplifies df noise on
-    # the finite differences (~1e-10 rel) into a shifted Newton stopping
-    # point within the convergence tolerance, and the perturbed solution
-    # vector carries that to all devices sharing the system.  MOSFETs get
-    # the same loose bound (numeric-diff L2/3; df sqrt/pow in the L1 path).
-    loose = ("Q" in og.jv) or ("M" in og.jv)
-    rtol, atol = (1e-6, 1e-8) if loose else (1e-9, 1e-11)
-    for kind in og.jv:
-        for key in og.jv[kind]:
-            jg = np.asarray(og.jv[kind][key])
-            jf = np.asarray(of.jv[kind][key])
-            np.testing.assert_allclose(jf, jg, rtol=rtol, atol=atol,
-                                       err_msg=f"jv.{kind}.{key}")
-    return og, of
-
-
-@heavy
-def test_fused_diode_resistive():
-    og, of = _compare_nl(D_RES)
-    assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
-
-
-@heavy
-def test_fused_diode_rectifier_tt():
-    rv = np.asarray(compile_circuit(parse(D_RECT)).params["R"]["value"])
-    og, of = _compare_nl(D_RECT, {"R": {"value": rv[None, :] * [[1.0], [0.8]]}})
-    # the Tt companion + capacitor make this a genuinely stiff NR problem
-    assert int(np.asarray(og.accepted)[0]) >= 10
-
-
-# ---- BJT decks: Ebers-Moll + numeric Jacobian in-kernel ----
-
-Q_SWITCH = """* common-emitter switch (reference bjt2.cir topology, coarser)
-.tran 5u 150u
-VCC 1 0 DC 10
-VB 4 0 PULSE(0 5 0 1u 1u 100u 200u)
-RB 4 2 10
-Q1 3 2 0 Q2N3904
-RC 1 3 10k
-.model Q2N3904 NPN(Is=1e-14 Bf=100 Vaf=100)
-"""
-
-Q_PNP = """* PNP bias: sign handling + cold-start path
-.tran 10u 200u
-VCC 1 0 DC -5
-RB 1 2 100k
-Q1 3 2 0 QP
-RC 1 3 1k
-.model QP PNP(Bf=50)
-"""
-
-
-@heavy
-def test_fused_bjt_switch():
-    og, of = _compare_nl(Q_SWITCH)
-    assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
-
-
-@heavy
-def test_fused_bjt_pnp():
-    _compare_nl(Q_PNP)
-
-
-@heavy
-def test_fused_bjt_diode_mixed():
-    deck = """* BJT + diode in one deck: both jv families in-kernel
-.tran 10u 200u
-VCC 1 0 DC 5
-RB 1 2 47k
-Q1 3 2 0 QN
-RC 1 3 2.2k
-D1 3 4 DM
-R2 4 0 10k
-.model QN NPN(Bf=80)
-.model DM D(Is=1e-14)
-"""
-    og, of = _compare_nl(deck)
-    assert "D" in og.jv and "Q" in og.jv
-
-
-# ---- MOSFET decks: levels 1-3 + Meyer caps in-kernel ----
-
-M_INV = """* NMOS inverter (reference mosfet1.cir topology, coarser)
-.tran 0.5u 10u
-VDD 1 0 DC 5
-VG 2 0 PULSE(0 5 1u 100n 100n 5u 10u)
-RD 1 3 10k
-M1 3 2 0 0 NMOS_Test L=2u W=20u
-.model NMOS_Test NMOS(Level=1 VTO=0.7 KP=20u LAMBDA=0.01)
-"""
-
-M_PMOS_L3 = """* PMOS level 3: sign flips + numeric-diff Jacobian in-kernel
-.tran 1u 20u
-VDD 1 0 DC -5
-VG 2 0 SIN(-2.5 2 100k)
-RD 1 3 20k
-M1 3 2 0 0 PM L=3u W=30u
-.model PM PMOS(Level=3 VTO=-0.8 KP=15u THETA=0.1 KAPPA=0.3)
-"""
-
-M_L2_CAPS = """* level 2 mobility degradation + junction caps (cj path)
-.tran 1u 20u
-VDD 1 0 DC 5
-VG 2 0 PULSE(0 4 2u 0.5u 0.5u 8u 16u)
-RD 1 3 15k
-RS 4 0 1k
-M1 3 2 4 0 NM L=2u W=10u
-.model NM NMOS(Level=2 VTO=0.6 UCRIT=1e4 UEXP=0.1 VMAX=5e4
-+ CJ=1e-4 CJSW=1e-10 PB=0.9 MJ=0.4)
-"""
-
-
-@heavy
-def test_fused_mosfet_level1():
-    og, of = _compare_nl(M_INV)
-    assert "M" in og.jv
-    assert int(np.asarray(og.nr_iters)[0]) >= 2 * int(np.asarray(og.attempts)[0])
-
-
-@heavy
-def test_fused_mosfet_pmos_level3():
-    _compare_nl(M_PMOS_L3)
-
-
-@heavy
-def test_fused_mosfet_level2_junction_caps():
-    """Source degeneration makes vbs < 0 at times, exercising the reverse
-    junction-cap df_pow branch; UCRIT/UEXP/VMAX exercise the level-2
-    mobility path."""
-    _compare_nl(M_L2_CAPS)
-
-
-@heavy
-def test_fused_mosfet_diode_mixed():
-    deck = """* MOSFET + diode sharing a system
-.tran 1u 20u
-VDD 1 0 DC 5
-VG 2 0 SIN(2.5 2 100k)
-RD 1 3 10k
-M1 3 2 0 0 NM L=2u W=20u
-D1 3 4 DM
-R2 4 0 20k
-.model NM NMOS(VTO=0.7 KP=20u)
-.model DM D(Is=1e-14)
-"""
-    og, of = _compare_nl(deck)
-    assert "D" in og.jv and "M" in og.jv
-
-
 # ---- transformer decks: mutual couplings + magnetic inductors ----
 # Linear-inductor decks pace at minstep in compat (junk-i0 LTE, PLAN.md 4);
 # high trtol keeps interpret-mode attempt counts tractable, as for RL above.
@@ -569,38 +358,6 @@ def test_fused_store_full_tstart():
     assert int(np.asarray(og.out_n)[0]) < int(np.asarray(og.accepted)[0])
     assert float(np.asarray(of.out_t)[0, 0]) >= 0.4e-3
 
-
-@heavy
-def test_fused_store_full_diode():
-    rv = np.asarray(compile_circuit(parse(D_RES)).params["R"]["value"])
-    _compare_store_full(D_RES, {"R": {"value": rv[None, :] * [[1.0], [0.9]]}},
-                        opts=_NL_OPTS)
-
-
-D_SMOKE = """* diode interpret smoke: ~4 attempts
-.tran 0.02m 0.04m
-Vin 1 0 DC 0.8
-R1 1 2 200
-D1 2 0 DM
-.model DM D (Is=1e-14 N=1.2)
-"""
-
-
-@heavy
-def test_fused_diode_kernel_plumbing_interpret():
-    """A handful of attempts through the REAL kernel path in interpret mode:
-    validates the ref wrapper (jv in/out, extra xlte rows, active-mask dyn
-    row) that the fast impl=xla parity tests bypass.  Interpret mode costs
-    seconds per attempt, hence the micro deck; the kernel build switches to
-    the update-slice form because interpret inlines it into XLA CPU (see
-    _attempt_core on the concatenate-fusion compile explosion)."""
-    os.environ["TOYSPICE_TRAN_KERNEL_BUILD"] = "dus"
-    try:
-        _compare_nl(D_SMOKE, opts=SimOptions(trtol=1e9, tstep_divisor=4.0,
-                                             minstep_divisor=2.0),
-                    impl="kernel")
-    finally:
-        os.environ.pop("TOYSPICE_TRAN_KERNEL_BUILD", None)
 
 
 # ---- physics-mode fused transients (round 3): BE + trapezoidal companions,

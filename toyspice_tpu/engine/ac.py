@@ -66,19 +66,41 @@ def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
     of B*F lane-resident systems before the solve: measured ~3 orders of
     magnitude faster on the same workload.
 
+    The bias point runs through the fused OP/Newton kernel
+    (ops/pallas_op.py) when the circuit is eligible and the Pallas solver
+    backend is active — at the benchmark batch the vmapped general bias
+    dominated the whole AC sweep (round-3 BENCH_MATRIX: 0.084 s of which
+    the (B·F) solves are a small fraction).  TOYSPICE_OP=general forces the
+    vmapped general bias.
+
     Returns fn(params, state0, freqs) -> (xr, xi, opr) with xr/xi of shape
     (B, F, np1); ``in_axes`` marks the batched param leaves (0) as in
     batch_params."""
+    import os
+
+    from ..ops.pallas_op import make_op_fused, op_fused_ineligible_reason
+    from ..ops.solve import _solver_backend
+
     np1 = cc.np1
-    op_execute, _ = make_op(cc, opts, semantics=semantics)
+    mode = os.environ.get("TOYSPICE_OP", "auto")
+    fused_bias = (op_fused_ineligible_reason(cc, semantics, opts) is None
+                  and mode != "general"
+                  and (mode == "fused" or _solver_backend() == "pallas"))
+    if fused_bias:
+        op_fused = make_op_fused(cc, opts, semantics=semantics)
+    else:
+        op_execute, _ = make_op(cc, opts, semantics=semantics)
 
     def asm(params, state, jv, freq):
         return assemble_system_ac(cc, params, state, jv, freq, temp=opts.temp,
                                   semantics=semantics)
 
     def ac_batch_execute(params, state0, freqs):
-        opr = jax.vmap(lambda p: op_execute(p, state0),
-                       in_axes=(in_axes,))(params)
+        if fused_bias:
+            opr = op_fused(params, state0)
+        else:
+            opr = jax.vmap(lambda p: op_execute(p, state0),
+                           in_axes=(in_axes,))(params)
         a2, b2 = jax.vmap(
             jax.vmap(asm, in_axes=(None, None, None, 0)),
             in_axes=(in_axes, None, 0, None),

@@ -154,14 +154,50 @@ def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
     return out
 
 
+def select_op_engine(cc, semantics: str = "compat",
+                     opts: SimOptions = DEFAULTS):
+    """Decide fused-kernel vs general engine for a batched OP/DC-sweep.
+
+    Returns (engine_name, reason) with engine_name in {"fused", "general"}.
+    The fused OP/Newton kernel (ops/pallas_op.py) serves nonlinear compat
+    circuits on the Pallas solver backend; TOYSPICE_OP=general|fused|auto
+    overrides (same contract as TOYSPICE_TRAN)."""
+    import os
+
+    from ..ops.pallas_op import op_fused_ineligible_reason
+    from ..ops.solve import _solver_backend
+
+    mode = os.environ.get("TOYSPICE_OP", "auto")
+    why_not = op_fused_ineligible_reason(cc, semantics, opts)
+    if mode == "general":
+        return "general", "TOYSPICE_OP=general override"
+    if why_not is not None:
+        return "general", why_not
+    if mode != "fused" and _solver_backend() != "pallas":
+        return "general", (
+            f"solver backend is {_solver_backend()!r}, not the TPU Pallas "
+            "backend (set TOYSPICE_OP=fused to force)")
+    return "fused", f"eligible ({semantics})"
+
+
 def run_op_batch(cc, params, in_axes, jit: bool = True,
                  opts: SimOptions = DEFAULTS, semantics: str = "compat"):
-    """vmapped operating point: each instance runs the full NR + rescue
+    """Batched operating point: each instance runs the full NR + rescue
     ladders on its own parameters.  Returns the batched OPResult
-    (x: (B, np1), converged: (B,))."""
-    op_execute, _ = make_op(cc, opts, semantics=semantics)
+    (x: (B, np1), converged: (B,), stage: (B,)) — through the fused
+    OP/Newton kernel when eligible (one kernel dispatch for the whole batch
+    in the no-rescue case), else vmapped over the general engine."""
+    engine, reason = select_op_engine(cc, semantics, opts)
+    _log.info("op engine: %s (%s)", engine, reason)
     state0 = init_state(cc)
-    fn = jax.vmap(lambda p: op_execute(p, state0), in_axes=(in_axes,))
+    if engine == "fused":
+        from ..ops.pallas_op import make_op_fused
+
+        fn = make_op_fused(cc, opts, semantics=semantics)
+        fn = (lambda f: (lambda p: f(p, state0)))(fn)
+    else:
+        op_execute, _ = make_op(cc, opts, semantics=semantics)
+        fn = jax.vmap(lambda p: op_execute(p, state0), in_axes=(in_axes,))
     if jit:
         fn = jax.jit(fn)
     return fn(params)
@@ -185,11 +221,23 @@ def run_ac_batch(cc, params, in_axes, freqs, jit: bool = True,
 
 def run_dc_batch(cc, src_slots, params, in_axes, points, jit: bool = True,
                  opts: SimOptions = DEFAULTS, semantics: str = "compat"):
-    """vmapped DC sweep.  Returns (xs, conv) with leading batch axes;
-    xs is (B, P, np1)."""
-    dc_execute = make_dc(cc, src_slots, opts, semantics=semantics)
+    """Batched DC sweep.  Returns (xs, conv) with leading batch axes;
+    xs is (B, P, np1).  Eligible circuits run the fused DC-flavor Newton
+    kernel — one kernel dispatch per sweep point for the whole batch,
+    junction voltages warm-started point to point (dc.go:142-187) — else
+    the general engine under vmap."""
+    engine, reason = select_op_engine(cc, semantics, opts)
+    _log.info("dc engine: %s (%s)", engine, reason)
     state0 = init_state(cc)
-    fn = jax.vmap(lambda p: dc_execute(p, state0, points), in_axes=(in_axes,))
+    if engine == "fused":
+        from ..ops.pallas_op import make_dc_fused
+
+        dcf = make_dc_fused(cc, tuple(src_slots), opts, semantics=semantics)
+        fn = lambda p: dcf(p, state0, points)  # noqa: E731
+    else:
+        dc_execute = make_dc(cc, src_slots, opts, semantics=semantics)
+        fn = jax.vmap(lambda p: dc_execute(p, state0, points),
+                      in_axes=(in_axes,))
     if jit:
         fn = jax.jit(fn)
     return fn(params)

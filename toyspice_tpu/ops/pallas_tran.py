@@ -285,18 +285,37 @@ def _pnjlim_df(vnew, vold, vte, invvte, vcr, lanes):
 
 
 def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
-                      jv_hi, jv_lo, dtinv, lanes, act_mask):
-    """The transient Newton loop (engine/newton.py warm-start flavor) inside
-    the attempt, per-lane.  Mirrors the vmapped ``lax.while_loop`` semantics
-    exactly: a lane whose convergence flag latches (or that exhausts
-    max_iter) freezes its whole carry — x, junction voltages and iteration
-    count — while other lanes in the block keep iterating.
+                      jv_hi, jv_lo, dtinv, lanes, act_mask,
+                      flavor="tran", gmin=None, x0=None,
+                      transient_terms=True):
+    """The Newton loop (engine/newton.py) inside the kernel, per-lane.
+    Mirrors the vmapped ``lax.while_loop`` semantics exactly: a lane whose
+    convergence flag latches (or that exhausts max_iter) freezes its whole
+    carry — x, junction voltages and iteration count — while other lanes in
+    the block keep iterating.
+
+    Three flavors, exactly engine/newton.py's static switches:
+
+    * ``tran`` (default) — warm start: iteration 0 stamps with the carried
+      junction voltages (tran.go:174 `if iter > 0`); OP convergence formula.
+    * ``op`` — the OP NR (op.go:25-88): linearization voltages update from
+      the previous solution EVERY iteration, seeded by ``x0`` (the linear
+      initial estimate); ``gmin`` (df pair) is CircuitStatus.Gmin — added to
+      every non-ground diagonal (matrix/circuit.go:107-114) and the MOSFET
+      drain/source diagonals (mosfet.go:698-701).
+    * ``dc`` — warm start like ``tran`` but with the CheckConvergence
+      formula (anlysis.go:46-59): diff ≤ abstol OR diff ≤ reltol·|new|.
+
+    ``transient_terms=False`` statically drops the companion-model terms
+    (diode Tt, MOSFET Meyer/junction charge currents) — the OP/DC stamp
+    (assemble.py mode="op") has none.
 
     Returns (x_hi, x_lo, iters, converged, jv_pair) where jv_pair stacks the
     exit junction voltages (the ones used for the last solve, which persist
     across accept/reject like res.jv in engine/tran.py:184)."""
     f32 = jnp.float32
     reltol, abstol, max_iter = cfgk
+    warm = flavor != "op"
     L = layout
     kj = nd_ + 2 * nq_ + 3 * nm_
     zero = jnp.zeros(lanes, dtype=f32)
@@ -603,6 +622,8 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         def limited_row(row, vnew, vte_p, invvte_p, vcr_p):
             vold = (jvs_hi[row], jvs_lo[row])
             vlim = _pnjlim_df(vnew, vold, vte_p, invvte_p, vcr_p, lanes)
+            if not warm:  # OP flavor: update from x every iteration
+                return vlim
             return _df_where(sel0, (jv0_hi[row], jv0_lo[row]), vlim)
 
         jv_used = [None] * kj
@@ -643,8 +664,8 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                                   ("jv_mds", mterm(ndn, nsn)),
                                   ("jv_mbs", mterm(nbn, nsn))):
                 row = L[off_key] + km
-                jv_used[row] = _df_where(
-                    sel0, (jv0_hi[row], jv0_lo[row]), pair)
+                jv_used[row] = (pair if not warm else _df_where(
+                    sel0, (jv0_hi[row], jv0_lo[row]), pair))
 
         # --- Shockley eval + Tt companion + Norton stamp (diode.go:119-226,
         # compat prev_charge frozen per PLAN.md 1) ---
@@ -669,12 +690,17 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                 *_df_mul(*_df_add(*_df_abs(id_), *ist[kd]), *invnvt[kd]),
                 *dgmin[kd])
             gd = _df_where(fwd, gfwd, dgmin[kd])
-            # geq = Tt·gd/dt ; icap = (Tt·id − prev_charge)/dt
-            geq = _df_mul(*_df_mul(*dtt[kd], *gd), *dtinv)
-            cap = _df_mul(*_df_add(*_df_mul(*dtt[kd], *id_), *_df_neg(pq[kd])),
-                          *dtinv)
-            gdp = _df_add(*gd, *geq)
-            idp = _df_add(*id_, *cap)
+            if transient_terms:
+                # geq = Tt·gd/dt ; icap = (Tt·id − prev_charge)/dt
+                geq = _df_mul(*_df_mul(*dtt[kd], *gd), *dtinv)
+                cap = _df_mul(
+                    *_df_add(*_df_mul(*dtt[kd], *id_), *_df_neg(pq[kd])),
+                    *dtinv)
+                gdp = _df_add(*gd, *geq)
+                idp = _df_add(*id_, *cap)
+            else:  # OP/DC stamp: no companion (assemble.py skips when not tran)
+                gdp = gd
+                idp = id_
             rhs_d = _df_add(*idp, *_df_neg(_df_mul(*gdp, *vd)))
             addx(n1, n1, gdp)
             addx(n2, n2, gdp)
@@ -757,12 +783,19 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             addx(nsn, ndn, _df_neg(gds))
             addx(nsn, ngn, _df_neg(gm))
             addx(nsn, nbn, _df_neg(gmbs))
+            if gmin is not None:
+                # OP/DC: status_gmin on the drain/source diagonals
+                # (mosfet.go:698-701); 0 during transient NR (tran.py:144)
+                addx(ndn, ndn, gmin)
+                addx(nsn, nsn, gmin)
             lin_rhs = _df_add(*_df_add(
                 *_df_neg(id_), *_df_mul(*gds, *vds)),
                 *_df_add(*_df_mul(*gm, *vgs), *_df_mul(*gmbs, *vbs)))
             addx(ndn, n, lin_rhs)
             addx(nsn, n, _df_neg(lin_rhs))
 
+            if not transient_terms:
+                continue  # OP/DC stamp has no charge companions
             # transient: C/dt entries + charge currents with compat-frozen
             # previous charges (PLAN.md 1; state never committed)
             qgs, qgd, qgb, qbs, qbd = m_charges(
@@ -823,19 +856,30 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                 if nbn:
                     addx(ndn, n, _df_neg(icbd))
 
+        if gmin is not None:
+            # CircuitStatus.Gmin on every non-ground diagonal
+            # (matrix/circuit.go:107-114, LoadGmin before each OP/DC solve)
+            for r in range(1, n):
+                addx(r, r, gmin)
+
         x2_hi, x2_lo = _gj_eliminate(n, *build_matrix(extra))
 
-        # --- reference convergence: from iteration 1, every row
-        # |Δ| ≤ reltol·max(|new|,|old|) + abstol, finite (op.go:67-82) ---
+        # --- reference convergence, checked from iteration 1, per row:
+        # op/tran: |Δ| ≤ reltol·max(|new|,|old|) + abstol (op.go:67-82);
+        # dc: |Δ| ≤ abstol OR |Δ| ≤ reltol·|new| (anlysis.go:46-59) ---
         allok = None
         finite = None
         for r in range(n):
             new = (x2_hi[r], x2_lo[r])
             old = (x_hi[r], x_lo[r])
             d = _df_abs(_df_add(*new, *_df_neg(old)))
-            amax = _df_max(_df_abs(new), _df_abs(old))
-            tol = _df_add(*_df_mul(*amax, *rel_c), *abs_c)
-            okr = ~_df_gt(d, tol)
+            if flavor == "dc":
+                okr = (~_df_gt(d, abs_c)) | (
+                    ~_df_gt(d, _df_mul(*_df_abs(new), *rel_c)))
+            else:
+                amax = _df_max(_df_abs(new), _df_abs(old))
+                tol = _df_add(*_df_mul(*amax, *rel_c), *abs_c)
+                okr = ~_df_gt(d, tol)
             fin = jnp.isfinite(x2_hi[r]) & jnp.isfinite(x2_lo[r])
             allok = okr if allok is None else (allok & okr)
             finite = fin if finite is None else (finite & fin)
@@ -859,8 +903,10 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         return jnp.max(pending) > 0
 
     zn = jnp.zeros((n,) + lanes, dtype=f32)
+    x_init = (zn, zn) if x0 is None else x0
     init = (jnp.zeros(lanes, dtype=jnp.int32),
-            (~act_mask).astype(jnp.int32), zn, zn, jv0_hi, jv0_lo)
+            (~act_mask).astype(jnp.int32), x_init[0], x_init[1],
+            jv0_hi, jv0_lo)
     # Check the cross-lane cond only every TOYSPICE_NR_UNROLL body passes:
     # converged/inactive lanes are frozen per-lane inside body, so extra
     # passes are no-ops on them and results are bit-identical.
@@ -1276,6 +1322,119 @@ def _lanes(leaf, nk, bp):
     return out
 
 
+def _const_stack64(cc, params, state0, counts, bp, temp):
+    """Attempt-invariant per-device const rows as one (n_const, bp) f64 stack
+    (row offsets: ``_layout``).  Shared by the fused transient kernel
+    (make_tran_fused) and the fused OP/Newton kernel (ops/pallas_op.py) —
+    both stamp the same device physics, so the precombined parameter rows
+    (diode Is(T)/limiter rows, BJT Ebers-Moll factors + cold start, MOSFET
+    level constants + Meyer/junction caps) are identical."""
+    from ..models import bjt as bjt_model
+    from ..models import diode as diode_model
+    from ..models.limiter import vcrit as vcrit_fn
+
+    nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
+    dtemp = temp - TEMP_DEFAULT
+
+    def tadj(tbl, nk, b):
+        v = _lanes(tbl["value"], nk, b)
+        tc1 = _lanes(tbl["tc1"], nk, b)
+        tc2 = _lanes(tbl["tc2"], nk, b)
+        return v * (1.0 + tc1 * dtemp + tc2 * dtemp * dtemp)
+
+    rows = []
+    if nr_:
+        rows.append(1.0 / tadj(params["R"], nr_, bp))
+    if nc_:
+        rows.append(tadj(params["C"], nc_, bp))
+        rows.append(_lanes(params["C"]["value"], nc_, bp))
+    if nl_:
+        lv = _lanes(params["L"]["value"], nl_, bp)
+        rows.extend([lv, 1.0 / lv])
+    if nd_:
+        pdl = {k: _lanes(params["D"][k], nd_, bp)
+               for k in ("n", "is_", "tt", "gmin", "eg", "xti")}
+        vt_t = diode_model.thermal_voltage(jnp.float64(temp))
+        nvt = pdl["n"] * vt_t
+        is_t = diode_model.temperature_adjusted_is(pdl, temp)
+        # the limiter runs at NOMINAL temperature with the raw Is
+        # (engine/nlstate.py:22,49-51), unlike the device eval
+        vte_lim = pdl["n"] * (BOLTZMANN * TEMP_DEFAULT / CHARGE)
+        pq0 = state0.get("D", {}).get("prev_charge")
+        pq0 = (jnp.zeros((nd_, bp), dtype=jnp.float64) if pq0 is None
+               else _lanes(pq0, nd_, bp))
+        rows.extend([1.0 / nvt, -3.0 * nvt, is_t, pdl["gmin"], pdl["tt"],
+                     vte_lim, 1.0 / vte_lim,
+                     vcrit_fn(vte_lim, pdl["is_"]), pq0])
+    if nq_:
+        pql = {k: _lanes(params["Q"][k], nq_, bp)
+               for k in ("sign", "ies", "ics", "nf", "nr", "alphaf",
+                         "vaf", "var", "ikf", "ikr")}
+        vtq = bjt_model.thermal_voltage(jnp.float64(temp))
+        vt_nom = BOLTZMANN * TEMP_DEFAULT / CHARGE
+        vte_f = pql["nf"] * vt_nom  # limiter at nominal T (nlstate.py)
+        vte_r = pql["nr"] * vt_nom
+        # cold start (bjt.go:110-120): vbe0 = Nf·Vt·ln(1e-3/Ies),
+        # vce0 = max(2, vbe0+1), vbc0 = vbe0 − vce0
+        vbe0 = pql["nf"] * vtq * jnp.log(1e-3 / pql["ies"])
+        vbc0 = vbe0 - jnp.maximum(2.0, vbe0 + 1.0)
+
+        def inv_or0(v):
+            return jnp.where(v > 0, 1.0 / v, jnp.zeros_like(v))
+
+        rows.extend([
+            1.0 / (pql["nf"] * vtq), 1.0 / (pql["nr"] * vtq),
+            pql["sign"] * pql["ies"], pql["sign"] * pql["ics"],
+            inv_or0(pql["vaf"]), inv_or0(pql["var"]),
+            inv_or0(pql["ikf"]), inv_or0(pql["ikr"]),
+            pql["alphaf"], pql["sign"],
+            vte_f, 1.0 / vte_f, vcrit_fn(vte_f, pql["ies"]),
+            vte_r, 1.0 / vte_r, vcrit_fn(vte_r, pql["ics"]),
+            vbe0, vbc0,
+        ])
+    if nm_:
+        pml = {k: _lanes(params["M"][k], nm_, bp)
+               for k in ("sign", "vto", "gamma", "phi", "kp", "w", "l",
+                         "lam", "tox", "uo", "ucrit", "uexp", "vmax",
+                         "theta", "kappa", "delta", "cgso", "cgdo",
+                         "cgbo", "cbs", "cbd", "cj", "as", "ps", "ad",
+                         "pd", "cjsw", "pb", "mj")}
+        cox = 3.9 * 8.85e-14 / pml["tox"]  # mosfet.go:382
+        beta1 = pml["kp"] * pml["w"] / pml["l"]
+        e2u = jnp.where(pml["ucrit"] > 0,
+                        1.0 / (pml["tox"] * 100.0 * pml["ucrit"]), 0.0)
+        b2u = pml["uo"] * cox * pml["w"] / (pml["l"] * 100.0)
+        vml = pml["vmax"] * 100.0 * pml["l"]
+        vmlu = jnp.where(pml["uo"] > 0, vml / pml["uo"], vml)
+        beta3 = beta1 / jnp.where(pml["delta"] > 0,
+                                  1.0 + pml["delta"] / pml["w"], 1.0)
+        cbs_eff = jnp.where((pml["cbs"] == 0) & (pml["cj"] > 0),
+                            pml["cj"] * pml["as"]
+                            + pml["cjsw"] * pml["ps"], pml["cbs"])
+        cbd_eff = jnp.where((pml["cbd"] == 0) & (pml["cj"] > 0),
+                            pml["cj"] * pml["ad"]
+                            + pml["cjsw"] * pml["pd"], pml["cbd"])
+
+        def mq0(key):
+            leaf = state0.get("M", {}).get(key)
+            return (jnp.zeros((nm_, bp), dtype=jnp.float64)
+                    if leaf is None else _lanes(leaf, nm_, bp))
+
+        rows.extend([
+            pml["sign"], pml["vto"], pml["gamma"], pml["phi"],
+            jnp.sqrt(pml["phi"]), beta1, pml["lam"],
+            e2u, pml["uexp"], b2u, vmlu,
+            (pml["uo"] > 0).astype(jnp.float64), pml["vmax"],
+            pml["theta"], pml["kappa"], beta3,
+            cox * pml["w"] * pml["l"], pml["cgso"] * pml["w"],
+            pml["cgdo"] * pml["w"], pml["cgbo"] * pml["l"],
+            cbs_eff, cbd_eff, 1.0 / pml["pb"], pml["mj"],
+            mq0("qgs"), mq0("qgd"), mq0("qgb"), mq0("qbs"), mq0("qbd"),
+        ])
+    return (jnp.concatenate(rows, axis=0) if rows
+            else jnp.zeros((1, bp), dtype=jnp.float64))
+
+
 def make_tran_fused(cc, cfg, opts, block: int | None = None,
                     store: str = "none", resume: bool = False,
                     semantics: str = "compat"):
@@ -1317,10 +1476,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     from ..engine.state import make_op_seed
     from ..engine.tran import TranOutput
     from ..models.sources import eval_sources_lanes
-    from ..models import bjt as bjt_model
-    from ..models import diode as diode_model
     from ..models import magnetic as mag_model
-    from ..models.limiter import vcrit as vcrit_fn
 
     physics = semantics == "physics"
     trap = physics and opts.integration == "trap"
@@ -1347,8 +1503,19 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     # physics non-UIC transients also need the OP: the bias point seeds the
     # committed state (engine/tran.py:114-116) even for linear decks
     need_op = nonlin or (physics and not cfg.uic and not resume)
+    # The warm-up bias runs through the fused OP/Newton kernel when eligible
+    # (ops/pallas_op.py) — the round-3 committed numbers showed the vmapped
+    # general OP dominating every short nonlinear deck (diode2: 38 accepted
+    # steps/lane behind an 8192-lane emulated-f64 OP).  TOYSPICE_OP=general
+    # forces the old path (A/B harness).
+    op_fused_fn = None
+    if need_op and not resume and not cfg.uic and not physics:
+        from .pallas_op import make_op_fused, op_fused_eligible
+        if (op_fused_eligible(cc, semantics, opts)
+                and os.environ.get("TOYSPICE_OP", "auto") != "general"):
+            op_fused_fn = make_op_fused(cc, opts, semantics=semantics)
     op_execute = (make_op(cc, opts, semantics=semantics)[0]
-                  if need_op else None)
+                  if need_op and op_fused_fn is None else None)
     op_seed = make_op_seed(cc, opts.temp) if physics else None
     # lanes per grid block (rounded up to a multiple of 1024 = 8 sublanes x
     # 128 lanes).  Linear decks are bandwidth/pipeline-bound and like small
@@ -1368,13 +1535,6 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             block = int(os.environ.get("TOYSPICE_BLOCK", "1024"))
     temp = opts.temp
     trtol = opts.trtol
-    dtemp = temp - TEMP_DEFAULT
-
-    def tadj(tbl, nk, b):
-        v = _lanes(tbl["value"], nk, b)
-        tc1 = _lanes(tbl["tc1"], nk, b)
-        tc2 = _lanes(tbl["tc2"], nk, b)
-        return v * (1.0 + tc1 * dtemp + tc2 * dtemp * dtemp)
 
     def tran_fused(params, state0, t0=None, jv0=None):
         if resume:
@@ -1446,7 +1606,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                      for a in t.values())
         opr = None
         if need_op and not resume and not cfg.uic:
-            if mapped:
+            if op_fused_fn is not None:
+                # fused OP kernel: batch-native, (b, ·) outputs either way
+                opr = op_fused_fn(params, state0)
+            elif mapped:
                 opr = jax.vmap(op_execute, in_axes=(paxes, saxes0))(
                     params, state0)
             else:
@@ -1519,97 +1682,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 k_both_linear = (ka == 0) & (kb == 0)
 
         # ---- const stack (attempt-invariant, split to df once) ----
-        rows = []
-        if nr_:
-            rows.append(1.0 / tadj(params["R"], nr_, bp))
-        if nc_:
-            rows.append(tadj(params["C"], nc_, bp))
-            rows.append(_lanes(params["C"]["value"], nc_, bp))
-        if nl_:
-            lv = _lanes(params["L"]["value"], nl_, bp)
-            rows.extend([lv, 1.0 / lv])
-        if nd_:
-            pdl = {k: _lanes(params["D"][k], nd_, bp)
-                   for k in ("n", "is_", "tt", "gmin", "eg", "xti")}
-            vt_t = diode_model.thermal_voltage(jnp.float64(temp))
-            nvt = pdl["n"] * vt_t
-            is_t = diode_model.temperature_adjusted_is(pdl, temp)
-            # the limiter runs at NOMINAL temperature with the raw Is
-            # (engine/nlstate.py:22,49-51), unlike the device eval
-            vte_lim = pdl["n"] * (BOLTZMANN * TEMP_DEFAULT / CHARGE)
-            pq0 = state0.get("D", {}).get("prev_charge")
-            pq0 = (jnp.zeros((nd_, bp), dtype=jnp.float64) if pq0 is None
-                   else _lanes(pq0, nd_, bp))
-            rows.extend([1.0 / nvt, -3.0 * nvt, is_t, pdl["gmin"], pdl["tt"],
-                         vte_lim, 1.0 / vte_lim,
-                         vcrit_fn(vte_lim, pdl["is_"]), pq0])
-        if nq_:
-            pql = {k: _lanes(params["Q"][k], nq_, bp)
-                   for k in ("sign", "ies", "ics", "nf", "nr", "alphaf",
-                             "vaf", "var", "ikf", "ikr")}
-            vtq = bjt_model.thermal_voltage(jnp.float64(temp))
-            vt_nom = BOLTZMANN * TEMP_DEFAULT / CHARGE
-            vte_f = pql["nf"] * vt_nom  # limiter at nominal T (nlstate.py)
-            vte_r = pql["nr"] * vt_nom
-            # cold start (bjt.go:110-120): vbe0 = Nf·Vt·ln(1e-3/Ies),
-            # vce0 = max(2, vbe0+1), vbc0 = vbe0 − vce0
-            vbe0 = pql["nf"] * vtq * jnp.log(1e-3 / pql["ies"])
-            vbc0 = vbe0 - jnp.maximum(2.0, vbe0 + 1.0)
-
-            def inv_or0(v):
-                return jnp.where(v > 0, 1.0 / v, jnp.zeros_like(v))
-
-            rows.extend([
-                1.0 / (pql["nf"] * vtq), 1.0 / (pql["nr"] * vtq),
-                pql["sign"] * pql["ies"], pql["sign"] * pql["ics"],
-                inv_or0(pql["vaf"]), inv_or0(pql["var"]),
-                inv_or0(pql["ikf"]), inv_or0(pql["ikr"]),
-                pql["alphaf"], pql["sign"],
-                vte_f, 1.0 / vte_f, vcrit_fn(vte_f, pql["ies"]),
-                vte_r, 1.0 / vte_r, vcrit_fn(vte_r, pql["ics"]),
-                vbe0, vbc0,
-            ])
-        if nm_:
-            pml = {k: _lanes(params["M"][k], nm_, bp)
-                   for k in ("sign", "vto", "gamma", "phi", "kp", "w", "l",
-                             "lam", "tox", "uo", "ucrit", "uexp", "vmax",
-                             "theta", "kappa", "delta", "cgso", "cgdo",
-                             "cgbo", "cbs", "cbd", "cj", "as", "ps", "ad",
-                             "pd", "cjsw", "pb", "mj")}
-            cox = 3.9 * 8.85e-14 / pml["tox"]  # mosfet.go:382
-            beta1 = pml["kp"] * pml["w"] / pml["l"]
-            e2u = jnp.where(pml["ucrit"] > 0,
-                            1.0 / (pml["tox"] * 100.0 * pml["ucrit"]), 0.0)
-            b2u = pml["uo"] * cox * pml["w"] / (pml["l"] * 100.0)
-            vml = pml["vmax"] * 100.0 * pml["l"]
-            vmlu = jnp.where(pml["uo"] > 0, vml / pml["uo"], vml)
-            beta3 = beta1 / jnp.where(pml["delta"] > 0,
-                                      1.0 + pml["delta"] / pml["w"], 1.0)
-            cbs_eff = jnp.where((pml["cbs"] == 0) & (pml["cj"] > 0),
-                                pml["cj"] * pml["as"]
-                                + pml["cjsw"] * pml["ps"], pml["cbs"])
-            cbd_eff = jnp.where((pml["cbd"] == 0) & (pml["cj"] > 0),
-                                pml["cj"] * pml["ad"]
-                                + pml["cjsw"] * pml["pd"], pml["cbd"])
-
-            def mq0(key):
-                leaf = state0.get("M", {}).get(key)
-                return (jnp.zeros((nm_, bp), dtype=jnp.float64)
-                        if leaf is None else _lanes(leaf, nm_, bp))
-
-            rows.extend([
-                pml["sign"], pml["vto"], pml["gamma"], pml["phi"],
-                jnp.sqrt(pml["phi"]), beta1, pml["lam"],
-                e2u, pml["uexp"], b2u, vmlu,
-                (pml["uo"] > 0).astype(jnp.float64), pml["vmax"],
-                pml["theta"], pml["kappa"], beta3,
-                cox * pml["w"] * pml["l"], pml["cgso"] * pml["w"],
-                pml["cgdo"] * pml["w"], pml["cgbo"] * pml["l"],
-                cbs_eff, cbd_eff, 1.0 / pml["pb"], pml["mj"],
-                mq0("qgs"), mq0("qgd"), mq0("qgb"), mq0("qbs"), mq0("qbd"),
-            ])
-        const64 = (jnp.concatenate(rows, axis=0) if rows
-                   else jnp.zeros((1, bp), dtype=jnp.float64))
+        const64 = _const_stack64(cc, params, state0, counts, bp, temp)
         const_hi, const_lo = _hi_lo(const64)
 
         # ---- junction-voltage warm start: the OP bias point (tran.go:57-75)

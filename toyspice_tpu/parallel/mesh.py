@@ -83,21 +83,48 @@ def run_ac_sharded(cc, mesh: Mesh, params, in_axes, freqs,
     return vfn(sharded_params)
 
 
+def _batch_pspec(in_axes, axis):
+    return jax.tree_util.tree_map(
+        lambda ax: P(axis) if ax == 0 else P(), in_axes,
+        is_leaf=lambda x: x is None or x == 0)
+
+
 def run_op_sharded(cc, mesh: Mesh, params, in_axes, axis: str = "data",
                    opts=None, semantics: str = "compat"):
     """Batched operating point sharded over the mesh's batch axis.  Each
     instance runs the full NR + rescue ladders on its own shard; there is no
-    cross-instance communication (instances are embarrassingly parallel)."""
+    cross-instance communication (instances are embarrassingly parallel).
+
+    Dispatches through ``select_op_engine`` like the single-chip batch API:
+    an eligible nonlinear compat circuit on the Pallas backend runs the
+    fused OP/Newton kernel per shard under ``shard_map`` (a Pallas kernel
+    cannot be auto-partitioned by GSPMD); the general engine shards via
+    vmap + input shardings.  The chosen engine is recorded on
+    ``run_op_sharded.last_engine``/``.last_reason``."""
+    from ..engine.batch import select_op_engine
     from ..engine.op import make_op
     from ..engine.options import DEFAULTS
 
-    op_execute, _ = make_op(cc, opts if opts is not None else DEFAULTS,
-                            semantics=semantics)
+    opts = opts if opts is not None else DEFAULTS
+    engine, reason = select_op_engine(cc, semantics, opts)
     state0 = init_state(cc)
     sharded_params = shard_batch(mesh, params, in_axes, axis)
-    fn = jax.jit(jax.vmap(lambda p: op_execute(p, state0),
-                          in_axes=(in_axes,)))
-    return fn(sharded_params)
+    if engine == "fused":
+        from ..ops.pallas_op import make_op_fused
+
+        opf = make_op_fused(cc, opts, semantics=semantics)
+        fn = jax.jit(jax.shard_map(
+            lambda p: opf(p, state0), mesh=mesh,
+            in_specs=(_batch_pspec(in_axes, axis),), out_specs=P(axis),
+            check_vma=False))
+    else:
+        op_execute, _ = make_op(cc, opts, semantics=semantics)
+        fn = jax.jit(jax.vmap(lambda p: op_execute(p, state0),
+                              in_axes=(in_axes,)))
+    out = fn(sharded_params)
+    run_op_sharded.last_engine = engine
+    run_op_sharded.last_reason = reason
+    return out
 
 
 def run_dc_sharded(cc, src_slots, mesh: Mesh, params, in_axes, points,
@@ -107,18 +134,34 @@ def run_dc_sharded(cc, src_slots, mesh: Mesh, params, in_axes, points,
     from the previous solution — dc.py's scan — so, unlike AC frequencies,
     points cannot shard onto a second mesh axis without changing
     convergence behavior).  Returns (xs, conv) laid out P(batch, None,
-    None)."""
+    None).  Engine dispatch and recording as in ``run_op_sharded``."""
+    from ..engine.batch import select_op_engine
     from ..engine.dc import make_dc
     from ..engine.options import DEFAULTS
 
-    dc_execute = make_dc(cc, src_slots, opts if opts is not None else DEFAULTS,
-                         semantics=semantics)
+    opts = opts if opts is not None else DEFAULTS
+    engine, reason = select_op_engine(cc, semantics, opts)
     state0 = init_state(cc)
     sharded_params = shard_batch(mesh, params, in_axes, axis)
-    points = jax.device_put(jnp.asarray(points), NamedSharding(mesh, P()))
-    fn = jax.jit(jax.vmap(lambda p: dc_execute(p, state0, points),
-                          in_axes=(in_axes,)))
-    return fn(sharded_params)
+    points = jnp.asarray(points)
+    if engine == "fused":
+        from ..ops.pallas_op import make_dc_fused
+
+        dcf = make_dc_fused(cc, tuple(src_slots), opts, semantics=semantics)
+        fn = jax.jit(jax.shard_map(
+            lambda p: dcf(p, state0, points), mesh=mesh,
+            in_specs=(_batch_pspec(in_axes, axis),), out_specs=P(axis),
+            check_vma=False))
+        out = fn(sharded_params)
+    else:
+        pts_r = jax.device_put(points, NamedSharding(mesh, P()))
+        dc_execute = make_dc(cc, src_slots, opts, semantics=semantics)
+        fn = jax.jit(jax.vmap(lambda p: dc_execute(p, state0, pts_r),
+                              in_axes=(in_axes,)))
+        out = fn(sharded_params)
+    run_dc_sharded.last_engine = engine
+    run_dc_sharded.last_reason = reason
+    return out
 
 
 def run_transient_sharded(cc, cfg: TranConfig, mesh: Mesh, params, in_axes,
@@ -144,9 +187,7 @@ def run_transient_sharded(cc, cfg: TranConfig, mesh: Mesh, params, in_axes,
     state0 = init_state(cc)
     sharded_params = shard_batch(mesh, params, in_axes, axis)
 
-    pspec = jax.tree_util.tree_map(
-        lambda ax: P(axis) if ax == 0 else P(), in_axes,
-        is_leaf=lambda x: x is None or x == 0)
+    pspec = _batch_pspec(in_axes, axis)
     sspec = jax.tree_util.tree_map(lambda _: P(), state0)
 
     def step(p, s):

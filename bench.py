@@ -90,12 +90,25 @@ def main():
     wall = time.perf_counter() - t0
     rate = total_steps / wall
 
+    attempts = int(np.sum(np.asarray(out.attempts)))
     result = {
         "metric": f"aggregate transient timesteps/sec, {BATCH}-way Monte-Carlo rlc.cir"
                   f" (compat semantics, f64, {fails} failed instances)",
         "value": rate,
         "unit": "timesteps/sec",
         "vs_baseline": rate / BASELINE,
+        # utilization accounting (round-3 VERDICT weak #4): one attempt =
+        # one in-kernel build+solve; us_per_attempt_vreg is the measured
+        # per-(8,128)-vreg kernel cost to compare against the per-op floor
+        # (tests/tools/bench_kernel_ops.py; PARITY.md utilization section)
+        "util": {
+            "engine": getattr(fn, "engine", "?"),
+            "attempts_total": attempts,
+            "accept_ratio": total_steps / max(1, attempts),
+            "solves_per_s": attempts / wall,
+            "us_per_attempt_vreg": (wall * 1e6 / (attempts / BATCH)
+                                    / (BATCH / 1024.0)),
+        },
     }
     print(json.dumps(result))
 

@@ -154,6 +154,117 @@ def run_transient_batch(cc, cfg: TranConfig, params, in_axes, state0,
     return out
 
 
+def make_tran_stream(cc, cfg: TranConfig, chunk_store: int,
+                     semantics: str = "compat", opts: SimOptions = DEFAULTS,
+                     params=None):
+    """Build the (fresh, cont) compiled pair for the streamed store — build
+    ONCE and pass to stream_transient_chunks via ``fns`` when draining
+    repeatedly (each factory call returns fresh jit wrappers; re-building
+    per drain pays a full retrace, same contract as make_tran_batch)."""
+    from ..ops.pallas_tran import fused_ineligible_reason, make_tran_fused
+
+    why = fused_ineligible_reason(cc, semantics, "full", opts, params)
+    if why is not None:
+        raise ValueError(f"streamed store requires the fused engine: {why}")
+    cfg_c = cfg._replace(max_store=int(chunk_store))
+    fresh = jax.jit(make_tran_fused(cc, cfg_c, opts, store="full",
+                                    semantics=semantics, stream=True))
+    cont = jax.jit(make_tran_fused(cc, cfg_c, opts, store="full",
+                                   semantics=semantics, stream=True,
+                                   resume=True))
+    return fresh, cont
+
+
+def stream_transient_chunks(cc, cfg: TranConfig, params, state0,
+                            chunk_store: int, semantics: str = "compat",
+                            opts: SimOptions = DEFAULTS, fns=None):
+    """Generator: full-waveform transient in bounded-HBM chunks.
+
+    The reference stores every accepted step of every run (tran.go:141-143);
+    at the 8192-way benchmark batch the complete waveform buffer exceeds
+    HBM.  This runs the FUSED engine with a ``chunk_store``-row buffer in
+    stream mode — lanes PAUSE (not fail, not truncate) when their buffer
+    fills — yields each drained ``TranOutput`` for the caller to copy to
+    host (or reduce), and re-enters the same two compiled programs at the
+    per-lane ``(t_final, dt_final, state, jv)``.  Because the adaptive step
+    size is carried exactly, the concatenated chunks reproduce the
+    monolithic run's trajectory step for step (A/B:
+    tests/test_stream_store.py).
+
+    Caveat: ``cfg.max_attempts`` bounds attempts per CHUNK, not per run.
+    Hard-failed lanes are excluded from re-entry (their fail flag is
+    reported in the chunk where they failed)."""
+    import numpy as np
+
+    fresh, cont = fns if fns is not None else make_tran_stream(
+        cc, cfg, chunk_store, semantics, opts, params)
+    out = fresh(params, state0)
+    yield out
+    fail_any = np.asarray(out.fail).copy()
+    while True:
+        t = np.asarray(out.t_final)
+        fail_any |= np.asarray(out.fail)
+        live = (~fail_any) & (t < cfg.tstop)
+        if not np.any(live):
+            return
+        # park finished/failed lanes at tstop: they start done and are
+        # frozen by the in-loop masks (their state/jv rows are untouched)
+        t_next = jnp.asarray(np.where(live, t, cfg.tstop))
+        out = cont(params, out.state, t_next, out.jv, out.dt_final)
+        yield out
+
+
+def run_transient_streamed(cc, cfg: TranConfig, params, state0,
+                           chunk_store: int, semantics: str = "compat",
+                           opts: SimOptions = DEFAULTS):
+    """Streamed full-waveform transient, concatenated on host.
+
+    Drains ``stream_transient_chunks`` into host numpy arrays and stitches
+    the per-lane ragged chunk rows into one (B, N, np1) waveform buffer
+    (N = max accepted rows over lanes) — the same layout the monolithic
+    store='full' path emits.  Counters (accepted/attempts/nr_iters)
+    accumulate across chunks; fail latches."""
+    import numpy as np
+
+    from .tran import TranOutput
+
+    xs, ts, ns = [], [], []
+    accepted = attempts = nr_iters = 0
+    fail = overflow = None
+    last = None
+    for out in stream_transient_chunks(cc, cfg, params, state0, chunk_store,
+                                       semantics, opts):
+        xs.append(np.asarray(out.out_x))
+        ts.append(np.asarray(out.out_t))
+        ns.append(np.asarray(out.out_n))
+        accepted = accepted + np.asarray(out.accepted)
+        attempts = attempts + np.asarray(out.attempts)
+        nr_iters = nr_iters + np.asarray(out.nr_iters)
+        f = np.asarray(out.fail)
+        o = np.asarray(out.store_overflow)
+        fail = f if fail is None else (fail | f)
+        overflow = o if overflow is None else (overflow | o)
+        last = out
+    b = xs[0].shape[0]
+    np1 = xs[0].shape[2]
+    total = np.sum(np.stack(ns, axis=0), axis=0)  # (B,) stored rows
+    n_max = int(total.max())
+    out_x = np.zeros((b, n_max, np1), dtype=xs[0].dtype)
+    out_t = np.zeros((b, n_max), dtype=ts[0].dtype)
+    for lane in range(b):
+        off = 0
+        for cx, ct, cn in zip(xs, ts, ns):
+            k = int(cn[lane])
+            out_x[lane, off:off + k] = cx[lane, :k]
+            out_t[lane, off:off + k] = ct[lane, :k]
+            off += k
+    return TranOutput(
+        out_x=out_x, out_t=out_t, out_n=total, fail=fail,
+        accepted=accepted, attempts=attempts, nr_iters=nr_iters,
+        t_final=np.asarray(last.t_final), state=last.state, jv=last.jv,
+        store_overflow=overflow, dt_final=np.asarray(last.dt_final))
+
+
 def select_op_engine(cc, semantics: str = "compat",
                      opts: SimOptions = DEFAULTS):
     """Decide fused-kernel vs general engine for a batched OP/DC-sweep.

@@ -74,6 +74,10 @@ class TranOutput(NamedTuple):
     # fused store='full' only: True where the attempt buffer overflowed and
     # stored waveform rows were dropped (ops/pallas_tran.py); None elsewhere
     store_overflow: object = None
+    # adaptive step size on exit — resume with dt0=dt_final to continue the
+    # EXACT trajectory (a plain resume restarts dt at cfg.minstep); None on
+    # engines predating the streamed-store work
+    dt_final: object = None
 
 
 def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full",
@@ -102,7 +106,8 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
 
     k_store = cfg.max_store if store == "full" else 1
 
-    def tran_execute(params, state0, t0=0.0, jv0=None) -> TranOutput:
+    def tran_execute(params, state0, t0=0.0, jv0=None,
+                     dt0=None) -> TranOutput:
         zeros = jnp.zeros(np1, dtype=jnp.float64)
 
         if resume:
@@ -120,7 +125,8 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
         t0 = jnp.asarray(t0, dtype=jnp.float64)
         carry0 = dict(
             t=t0,
-            dt=jnp.float64(cfg.minstep),
+            dt=(jnp.float64(cfg.minstep) if dt0 is None
+                else jnp.asarray(dt0, dtype=jnp.float64)),
             done=t0 >= cfg.tstop,
             fail=jnp.asarray(False),
             state=state0,
@@ -197,7 +203,7 @@ def make_tran(cc, cfg: TranConfig, semantics: str = "compat", store: str = "full
         return TranOutput(
             out_x=c["out_x"], out_t=c["out_t"], out_n=c["out_n"], fail=c["fail"],
             accepted=c["accepted"], attempts=c["attempts"], nr_iters=c["nr_iters"],
-            t_final=c["t"], state=c["state"], jv=c["jv"],
+            t_final=c["t"], state=c["state"], jv=c["jv"], dt_final=c["dt"],
         )
 
     return tran_execute

@@ -55,20 +55,35 @@ from .pallas_tran import (FUSED_KINDS, _build_plan, _const_stack64, _df_const,
 def op_fused_ineligible_reason(cc, semantics: str = "compat", opts=None,
                                params=None):
     """Why this circuit can NOT use the fused OP/Newton kernel; None when it
-    can.  The fused path covers compat-semantics circuits over the kernel
-    device set with at least one nonlinear device — a linear OP is a single
+    can.  The fused path covers compat- and physics-semantics circuits over
+    the kernel device set with at least one nonlinear device — a linear OP is a single
     assemble+solve through the already-fused stamped-solve kernel
     (engine/newton.py nr_linear), so there is nothing left to fuse."""
-    if semantics != "compat":
-        return (f"semantics={semantics!r} (fused OP covers compat; "
-                "physics-mode nonlinear devices carry Rs/Bv the kernel "
-                "does not model yet)")
+    if semantics not in ("compat", "physics"):
+        return f"semantics={semantics!r}"
     extra = set(cc.idx.keys()) - FUSED_KINDS
     if extra:
         return f"device kinds {sorted(extra)} not supported by the kernel"
     if not any(k in cc.idx for k in ("D", "Q", "M")):
         return ("linear circuit (general OP is already one fused "
                 "assemble+solve)")
+    if (semantics == "physics" and params is not None
+            and "D" in cc.idx and "D" in params):
+        # same static-Rs-gate contract as the fused transient
+        # (pallas_tran.fused_ineligible_reason): an override that ENABLES
+        # Rs on a device whose deck leaves it 0 would be silently wrong
+        rs_static = np.asarray(cc.params["D"]["rs"]) > 0
+        leaf = params["D"].get("rs")
+        if leaf is not None:
+            try:
+                arr = np.asarray(leaf)
+            except Exception:
+                return ("traced diode Rs params (cannot verify the static "
+                        "Rs gate)")
+            on = (arr != 0).reshape(-1, arr.shape[-1]).any(axis=0)
+            if np.any(on & ~rs_static):
+                return ("diode Rs override enables series resistance the "
+                        "deck's model leaves off (static Rs gating)")
     return None
 
 
@@ -81,7 +96,7 @@ def op_fused_eligible(cc, semantics: str = "compat", opts=None,
 
 
 def _op_core(n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor,
-             const_hi, const_lo, dyn_hi, dyn_lo, x0_hi, x0_lo, jv_hi, jv_lo,
+             mode, const_hi, const_lo, dyn_hi, dyn_lo, x0_hi, x0_lo, jv_hi, jv_lo,
              cpu_build=False):
     """One OP/DC Newton solve as a pure array function over the df stacks.
 
@@ -202,7 +217,7 @@ def _op_core(n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor,
     x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
         n, nd_, nq_, nm_, layout, cfgk, build_matrix, const, jv_hi, jv_lo,
         zz, lanes, act_mask, flavor=flavor, gmin=gmin_k, x0=(x0h, x0l),
-        transient_terms=False)
+        transient_terms=False, mode=mode)
 
     hi_rows = ([x_hi[r] for r in range(n)]
                + [nr_k.astype(f32), nr_conv.astype(f32)])
@@ -213,12 +228,12 @@ def _op_core(n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor,
 
 @_unpinned
 def _op_kernel(n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor,
-               dus_build, const_hi_ref, const_lo_ref, dyn_hi_ref, dyn_lo_ref,
-               x0_ref, jv_ref, out_ref, jvout_ref):
+               mode, dus_build, const_hi_ref, const_lo_ref, dyn_hi_ref,
+               dyn_lo_ref, x0_ref, jv_ref, out_ref, jvout_ref):
     # x0/jv cross as (2, rows, 8, W) limb-paired stacks; outputs likewise
     # (limb pairs must leave through ONE ref — see _fused_kernel)
     out, jvout = _op_core(
-        n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor,
+        n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor, mode,
         const_hi_ref[...], const_lo_ref[...],
         dyn_hi_ref[...], dyn_lo_ref[...],
         x0_ref[0], x0_ref[1], jv_ref[0], jv_ref[1], cpu_build=dus_build)
@@ -298,7 +313,8 @@ def _block_geometry(b, block):
     return blk, bp, blk // 8
 
 
-def _make_call(cc, counts, layout, cfgk, flavor, gmin_floor, n, kj, bp, blk):
+def _make_call(cc, counts, layout, cfgk, flavor, gmin_floor, n, kj, bp,
+               blk, mode="compat"):
     """Compile-shared kernel invoker: (const_hi, const_lo, dyn64, x0_st,
     jv_st) -> (x_st, iters, conv, jv_st') with folded (2, rows, 8, bp//8)
     stacks for x/jv and (bp,) unfolded iters/conv."""
@@ -307,7 +323,8 @@ def _make_call(cc, counts, layout, cfgk, flavor, gmin_floor, n, kj, bp, blk):
     rhs_cells = {k: tuple(v) for k, v in rhs_cells.items()}
     kernel = functools.partial(
         _op_kernel, n, counts, layout, cells, rhs_cells, cfgk, flavor,
-        gmin_floor, os.environ.get("TOYSPICE_TRAN_KERNEL_BUILD") == "dus")
+        gmin_floor, mode,
+        os.environ.get("TOYSPICE_TRAN_KERNEL_BUILD") == "dus")
     w = blk // 8
     zero = np.int32(0)
     impl = os.environ.get("TOYSPICE_TRAN_IMPL", "kernel")
@@ -330,7 +347,8 @@ def _make_call(cc, counts, layout, cfgk, flavor, gmin_floor, n, kj, bp, blk):
         dyn_hi, dyn_lo = _hi_lo(dyn64)
         if impl == "xla":
             out, jvout = _op_core(
-                n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor,
+                n, counts, layout, cells, rhs_cells, cfgk, flavor,
+                gmin_floor, mode,
                 const_hi, const_lo, fold(dyn_hi), fold(dyn_lo),
                 x0_st[0], x0_st[1], jv_st[0], jv_st[1], cpu_build=True)
         else:
@@ -374,6 +392,7 @@ def make_op_fused(cc, opts, semantics: str = "compat",
     why = op_fused_ineligible_reason(cc, semantics, opts)
     if why is not None:
         raise ValueError(f"circuit not eligible for the fused OP: {why}")
+    mode = "phys_be" if semantics == "physics" else "compat"
     counts, layout, n_const, n_state = _layout(cc)
     nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     n = cc.np1
@@ -389,7 +408,7 @@ def make_op_fused(cc, opts, semantics: str = "compat",
         b = _infer_batch(params, state0)
         blk, bp, w = _block_geometry(b, block)
         call = _make_call(cc, counts, layout, cfgk, "op", opts.gmin,
-                          n, kj, bp, blk)
+                          n, kj, bp, blk, mode=mode)
         const64 = _const_stack64(cc, params, state0, counts, bp, temp)
         const_hi, const_lo = _hi_lo(const64)
         const_hi = const_hi.reshape(-1, 8, bp // 8)
@@ -541,6 +560,7 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
     why = op_fused_ineligible_reason(cc, semantics, opts)
     if why is not None:
         raise ValueError(f"circuit not eligible for the fused DC sweep: {why}")
+    mode = "phys_be" if semantics == "physics" else "compat"
     counts, layout, n_const, n_state = _layout(cc)
     nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     n = cc.np1
@@ -555,7 +575,7 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
         b = _infer_batch(params, state0)
         blk, bp, w = _block_geometry(b, block)
         call = _make_call(cc, counts, layout, cfgk, "dc", opts.gmin,
-                          n, kj, bp, blk)
+                          n, kj, bp, blk, mode=mode)
         const64 = _const_stack64(cc, params, state0, counts, bp, temp)
         const_hi, const_lo = _hi_lo(const64)
         const_hi = const_hi.reshape(-1, 8, bp // 8)

@@ -88,8 +88,9 @@ def fused_ineligible_reason(cc, semantics: str, store: str, opts,
     freezes the J-A core state — PLAN.md 1 — so L0/Leff and M=k·sqrt(LaLb)
     are run constants computed in XLA f64 around the kernel; physics
     carries the LIVE J-A state in the attempt loop), both semantics
-    (physics restricted to the linear/magnetic device set — nonlinear
-    physics devices carry Rs/Bv/charge memory the kernel does not model),
+    (physics nonlinear devices run in-kernel too: the Rs/Bv diode eval
+    with breakdown-frame pnjlim and the committed D/M charge-memory
+    companions under BE and trap — round-4 closure of the round-3 gap),
     BE and trapezoidal integration (trap is physics-only, as in the
     general engine), store='none' and store='full' (uniform-slot attempt
     buffer + compaction), and solver knobs that affect the in-kernel math
@@ -107,13 +108,24 @@ def fused_ineligible_reason(cc, semantics: str, store: str, opts,
     extra = set(cc.idx.keys()) - FUSED_KINDS
     if extra:
         return f"device kinds {sorted(extra)} not supported by the kernel"
-    if semantics == "physics":
-        nl_kinds = {"D", "Q", "M"} & set(cc.idx.keys())
-        if nl_kinds:
-            return (f"physics-mode nonlinear devices {sorted(nl_kinds)} "
-                    "(the fused physics path covers R/C/L/V/I/LM/K; "
-                    "physics Rs/Bv/charge-memory devices run the general "
-                    "engine)")
+    if params is not None:
+        # the kernel statically skips the physics diode's 8-step Rs inner
+        # Newton for devices whose deck model leaves Rs at 0 (_layout
+        # d_rs_on); an override ENABLING Rs would be silently wrong
+        if semantics == "physics" and "D" in cc.idx and "D" in params:
+            rs_static = np.asarray(cc.params["D"]["rs"]) > 0
+            leaf = params["D"].get("rs")
+            if leaf is not None:
+                try:
+                    arr = np.asarray(leaf)
+                except Exception:
+                    return ("traced diode Rs params (cannot verify the "
+                            "static Rs gate)")
+                on = (arr != 0).reshape(-1, arr.shape[-1]).any(axis=0)
+                if np.any(on & ~rs_static):
+                    return ("diode Rs override enables series resistance "
+                            "the deck's model leaves off (static Rs "
+                            "gating)")
     if params is not None:
         # the kernel statically skips junction-cap math for devices whose
         # deck model leaves cj/cbs/cbd at 0 (see _layout m_jcap); an
@@ -232,6 +244,13 @@ def _df_neg(p):
     return (-p[0], -p[1])
 
 
+def _df_twice(p):
+    """Exact x2 on both limbs (power-of-two scale preserves the df
+    invariant)."""
+    f32c = jnp.float32
+    return (p[0] * f32c(2.0), p[1] * f32c(2.0))
+
+
 def _df_abs(p):
     neg = p[0] < 0
     return (jnp.where(neg, -p[0], p[0]), jnp.where(neg, -p[1], p[1]))
@@ -284,44 +303,24 @@ def _pnjlim_df(vnew, vold, vte, invvte, vcr, lanes):
     return _df_where(limit, limited, vnew)
 
 
-def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
-                      jv_hi, jv_lo, dtinv, lanes, act_mask,
-                      flavor="tran", gmin=None, x0=None,
-                      transient_terms=True):
-    """The Newton loop (engine/newton.py) inside the kernel, per-lane.
-    Mirrors the vmapped ``lax.while_loop`` semantics exactly: a lane whose
-    convergence flag latches (or that exhausts max_iter) freezes its whole
-    carry — x, junction voltages and iteration count — while other lanes in
-    the block keep iterating.
+def _device_eval_lib(nd_, nq_, nm_, layout, const, lanes, mode="compat"):
+    """Per-device eval closures over the const stack, shared by the Newton
+    body (``_newton_in_kernel``) and the physics commit candidates
+    (``_attempt_core``) — both evaluate the same device characteristics, at
+    the limited junction voltages and the raw solution respectively (exactly
+    like ops/assemble.py vs engine/state.py make_commit).
 
-    Three flavors, exactly engine/newton.py's static switches:
-
-    * ``tran`` (default) — warm start: iteration 0 stamps with the carried
-      junction voltages (tran.go:174 `if iter > 0`); OP convergence formula.
-    * ``op`` — the OP NR (op.go:25-88): linearization voltages update from
-      the previous solution EVERY iteration, seeded by ``x0`` (the linear
-      initial estimate); ``gmin`` (df pair) is CircuitStatus.Gmin — added to
-      every non-ground diagonal (matrix/circuit.go:107-114) and the MOSFET
-      drain/source diagonals (mosfet.go:698-701).
-    * ``dc`` — warm start like ``tran`` but with the CheckConvergence
-      formula (anlysis.go:46-59): diff ≤ abstol OR diff ≤ reltol·|new|.
-
-    ``transient_terms=False`` statically drops the companion-model terms
-    (diode Tt, MOSFET Meyer/junction charge currents) — the OP/DC stamp
-    (assemble.py mode="op") has none.
-
-    Returns (x_hi, x_lo, iters, converged, jv_pair) where jv_pair stacks the
-    exit junction voltages (the ones used for the last solve, which persist
-    across accept/reject like res.jv in engine/tran.py:184)."""
+    ``mode``: "compat" evaluates the reference diode (diode.go:119-148);
+    "phys_be"/"phys_trap" evaluate models/diode.py dc_eval_physics — the
+    Bv breakdown region plus, for devices whose deck sets Rs (statically
+    gated by layout["d_rs_on"]), the 8-step seeded inner Newton folding the
+    series resistance into the terminal characteristic."""
     f32 = jnp.float32
-    reltol, abstol, max_iter = cfgk
-    warm = flavor != "op"
     L = layout
-    kj = nd_ + 2 * nq_ + 3 * nm_
+    physics = mode != "compat"
     zero = jnp.zeros(lanes, dtype=f32)
     one_df = (jnp.ones(lanes, dtype=f32), zero)
-    rel_c = _df_const(reltol, lanes)
-    abs_c = _df_const(abstol, lanes)
+    zz = (zero, zero)
     c40 = _df_const(40.0, lanes)
 
     invnvt = [const(L["d_invnvt"] + k) for k in range(nd_)]
@@ -333,6 +332,83 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
     invvte = [const(L["d_invvte"] + k) for k in range(nd_)]
     vcr = [const(L["d_vcrit"] + k) for k in range(nd_)]
     pq = [const(L["d_pq"] + k) for k in range(nd_)]
+    if physics:
+        d_nvt = [const(L["d_nvt"] + k) for k in range(nd_)]
+        d_rs = [const(L["d_rs"] + k) for k in range(nd_)]
+        d_mbv = [const(L["d_mbv"] + k) for k in range(nd_)]
+        d_bkgate = [const(L["d_bkgate"] + k) for k in range(nd_)]
+        d_invrsis = [const(L["d_invrsis"] + k) for k in range(nd_)]
+
+    def d_raw(kd, vj):
+        """Junction (i, g) at voltage vj.  compat: the 3-region Shockley
+        with the exp-arg clamp (diode.go:119-148); physics adds the Bv
+        breakdown exponential (models/diode.py dc_eval_physics raw)."""
+        arg = _df_mul(*vj, *invnvt[kd])
+        arg = _df_where(_df_gt(arg, c40), c40, arg)
+        e = df_exp(*arg)
+        ifwd = _df_mul(*ist[kd], *_df_add(*e, *_df_neg(one_df)))
+        fwd = _df_gt(vj, m3nvt[kd])  # vj > -3nVt
+        if not physics:
+            id_ = _df_where(fwd, ifwd, _df_neg(ist[kd]))
+            gfwd = _df_add(
+                *_df_mul(*_df_add(*_df_abs(id_), *ist[kd]), *invnvt[kd]),
+                *dgmin[kd])
+            gd = _df_where(fwd, gfwd, dgmin[kd])
+            return id_, gd
+        # breakdown region vj <= -Bv: -(Bv+vj) = -Bv - vj
+        barg = _df_mul(*_df_add(*d_mbv[kd], *_df_neg(vj)), *invnvt[kd])
+        barg = _df_where(_df_gt(barg, c40), c40, barg)
+        eb = df_exp(*barg)
+        bkd = ~_df_gt(vj, d_mbv[kd])
+        id_ = _df_where(fwd, ifwd,
+                        _df_where(bkd, _df_neg(_df_mul(*ist[kd], *eb)),
+                                  _df_neg(ist[kd])))
+        gfwd = _df_mul(*_df_add(*_df_abs(ifwd), *ist[kd]), *invnvt[kd])
+        gbkd = _df_mul(*_df_mul(*ist[kd], *eb), *invnvt[kd])
+        g = _df_where(fwd, gfwd, _df_where(bkd, gbkd, zz))
+        return id_, _df_add(*g, *dgmin[kd])
+
+    def d_eval(kd, vd):
+        """Terminal (id, gd).  physics devices with static Rs fold the
+        series resistance via the seeded inner Newton (models/diode.py
+        dc_eval_physics: seed from the current-limited junction voltage,
+        8 quadratic steps, chain-rule terminal conductance)."""
+        if not (physics and L["d_rs_on"][kd]):
+            return d_raw(kd, vd)
+        rs_pos = d_rs[kd][0] > 0
+        vd_pos = _df_gt(vd, zz)
+        fwd_amt = _df_where(vd_pos, vd, zz)
+        fwd_cap = _df_mul(*d_nvt[kd], *df_log(*_df_add(
+            *one_df, *_df_mul(*fwd_amt, *d_invrsis[kd]))))
+        bk_amt = _df_add(*d_mbv[kd], *_df_neg(vd))  # -vd - Bv
+        bk_amt = _df_where(_df_gt(bk_amt, zz), bk_amt, zz)
+        bkd_cap = _df_add(*d_mbv[kd], *_df_neg(_df_mul(
+            *d_nvt[kd], *df_log(*_df_add(
+                *one_df, *_df_mul(*bk_amt, *d_invrsis[kd]))))))
+        below_bv = _df_gt(d_mbv[kd], vd)  # vd < -Bv
+        vj = _df_where(
+            rs_pos & vd_pos,
+            _df_where(_df_gt(vd, fwd_cap), fwd_cap, vd),  # min(vd, cap)
+            _df_where(rs_pos & below_bv, _df_max(vd, bkd_cap), vd))
+        for _ in range(8):
+            ij, gj = d_raw(kd, vj)
+            f = _df_add(*_df_add(*vj, *_df_mul(*d_rs[kd], *ij)),
+                        *_df_neg(vd))
+            den = _df_add(*one_df, *_df_mul(*d_rs[kd], *gj))
+            vj = _df_add(*vj, *_df_neg(df_div(*f, *den)))
+        ij, gj = d_raw(kd, vj)
+        den = _df_add(*one_df, *_df_mul(*d_rs[kd], *gj))
+        return ij, df_div(*gj, *den)
+
+    def d_limit_bkd(kd, vnew, vold, vlim):
+        """Breakdown-frame pnjlim overlay (engine/nlstate.py physics
+        branch): limit -(Bv+vd) like a forward junction, gated on the NEW
+        voltage only (vd < min(0, -Bv + 10·vte))."""
+        in_bkd = _df_gt(d_bkgate[kd], vnew)
+        vbk = _pnjlim_df(_df_add(*d_mbv[kd], *_df_neg(vnew)),
+                         _df_add(*d_mbv[kd], *_df_neg(vold)),
+                         vte[kd], invvte[kd], vcr[kd], lanes)
+        return _df_where(in_bkd, _df_add(*d_mbv[kd], *_df_neg(vbk)), vlim)
 
     qrow = {key: [const(L[key] + k) for k in range(nq_)]
             for key in ("q_invnfvt", "q_invnrvt", "q_sies", "q_sics",
@@ -497,12 +573,12 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         branches are statically skipped (identically-zero values) for
         devices whose model never sets cj/cbs/cbd (L["m_jcap"])."""
         vgd = _df_add(*vgs, *_df_neg(vds))
-        zz = (zero, zero)
-        qgs = _df_where(cut, zz, _df_mul(*cgs, *vgs))
-        qgd = _df_where(cut, zz, _df_mul(*cgd, *vgd))
+        zz_ = (zero, zero)
+        qgs = _df_where(cut, zz_, _df_mul(*cgs, *vgs))
+        qgd = _df_where(cut, zz_, _df_mul(*cgd, *vgd))
         qgb = _df_mul(*cgb, *_df_add(*vgs, *_df_neg(vbs)))
         if not L["m_jcap"][km]:
-            return qgs, qgd, qgb, zz, zz
+            return qgs, qgd, qgb, zz_, zz_
         vbd = _df_add(*vbs, *_df_neg(vds))
         invpb = mrow["m_invpb"][km]
         mj = mrow["m_mj"][km]
@@ -513,7 +589,7 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             rev = df_div(*ceff, *df_pow(*_df_max(base, flo), *mj))
             fwd = _df_mul(*ceff, *_df_add(
                 *one_df, *_df_mul(*_df_mul(*mj, *v), *invpb)))
-            return _df_mul(*_df_where(_df_gt(zz, v), rev, fwd), *v)
+            return _df_mul(*_df_where(_df_gt(zz_, v), rev, fwd), *v)
 
         qbs = qjunc(mrow["m_cbs"][km], vbs)
         qbd = qjunc(mrow["m_cbd"][km], vbd)
@@ -537,11 +613,11 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         e2 = df_exp(*_df_where(cl2, c40, a2))
         sies = qrow["q_sies"][kq]
         sics = qrow["q_sics"][kq]
-        zz = (zero, zero)
+        zz_ = (zero, zero)
         f0 = _df_mul(*sies, *_df_add(*e1, *_df_neg(one_df)))
         r0 = _df_mul(*sics, *_df_add(*e2, *_df_neg(one_df)))
-        df0 = _df_where(cl1, zz, _df_mul(*_df_mul(*sies, *e1), *invnfvt))
-        dr0 = _df_where(cl2, zz, _df_mul(*_df_mul(*sics, *e2), *invnrvt))
+        df0 = _df_where(cl1, zz_, _df_mul(*_df_mul(*sies, *e1), *invnfvt))
+        dr0 = _df_where(cl2, zz_, _df_mul(*_df_mul(*sics, *e2), *invnrvt))
         invvaf = qrow["q_invvaf"][kq]
         invvar = qrow["q_invvar"][kq]
         invikf = qrow["q_invikf"][kq]
@@ -571,7 +647,7 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             # sign(g)·x with sign(0)=0, selected on the hi limb (a
             # normalized df pair with hi==0 has lo==0)
             return _df_where(gpair[0] < 0, _df_neg(x),
-                             _df_where(gpair[0] > 0, x, zz))
+                             _df_where(gpair[0] > 0, x, zz_))
 
         ddenf_be = smul(f1, _df_mul(*df1_be, *ikfu))
         ddenf_bc = _df_add(
@@ -607,6 +683,65 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
                       *_df_neg(g12))
         return ic0, ib0, g11, g12, g21, g22
 
+    return {
+        "invnvt": invnvt, "m3nvt": m3nvt, "ist": ist, "dgmin": dgmin,
+        "dtt": dtt, "vte": vte, "invvte": invvte, "vcr": vcr, "pq": pq,
+        "qrow": qrow, "mrow": mrow,
+        "d_raw": d_raw, "d_eval": d_eval, "d_limit_bkd": d_limit_bkd,
+        "m_vth": m_vth, "m_ids_pos": m_ids_pos, "m_dc_eval": m_dc_eval,
+        "m_charges": m_charges, "q_jacobian": q_jacobian,
+    }
+
+
+def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
+                      jv_hi, jv_lo, dtinv, lanes, act_mask,
+                      flavor="tran", gmin=None, x0=None,
+                      transient_terms=True, mode="compat", st=None):
+    """The Newton loop (engine/newton.py) inside the kernel, per-lane.
+    Mirrors the vmapped ``lax.while_loop`` semantics exactly: a lane whose
+    convergence flag latches (or that exhausts max_iter) freezes its whole
+    carry — x, junction voltages and iteration count — while other lanes in
+    the block keep iterating.
+
+    Three flavors, exactly engine/newton.py's static switches:
+
+    * ``tran`` (default) — warm start: iteration 0 stamps with the carried
+      junction voltages (tran.go:174 `if iter > 0`); OP convergence formula.
+    * ``op`` — the OP NR (op.go:25-88): linearization voltages update from
+      the previous solution EVERY iteration, seeded by ``x0`` (the linear
+      initial estimate); ``gmin`` (df pair) is CircuitStatus.Gmin — added to
+      every non-ground diagonal (matrix/circuit.go:107-114) and the MOSFET
+      drain/source diagonals (mosfet.go:698-701).
+    * ``dc`` — warm start like ``tran`` but with the CheckConvergence
+      formula (anlysis.go:46-59): diff ≤ abstol OR diff ≤ reltol·|new|.
+
+    ``transient_terms=False`` statically drops the companion-model terms
+    (diode Tt, MOSFET Meyer/junction charge currents) — the OP/DC stamp
+    (assemble.py mode="op") has none.
+
+    Returns (x_hi, x_lo, iters, converged, jv_pair) where jv_pair stacks the
+    exit junction voltages (the ones used for the last solve, which persist
+    across accept/reject like res.jv in engine/tran.py:184)."""
+    f32 = jnp.float32
+    reltol, abstol, max_iter = cfgk
+    warm = flavor != "op"
+    L = layout
+    kj = nd_ + 2 * nq_ + 3 * nm_
+    zero = jnp.zeros(lanes, dtype=f32)
+    one_df = (jnp.ones(lanes, dtype=f32), zero)
+    rel_c = _df_const(reltol, lanes)
+    abs_c = _df_const(abstol, lanes)
+    physics = mode != "compat"
+    trap = mode == "phys_trap"
+
+    lib = _device_eval_lib(nd_, nq_, nm_, layout, const, lanes, mode)
+    vte, invvte, vcr = lib["vte"], lib["invvte"], lib["vcr"]
+    dtt, pq = lib["dtt"], lib["pq"]
+    qrow, mrow = lib["qrow"], lib["mrow"]
+    d_eval, d_limit_bkd = lib["d_eval"], lib["d_limit_bkd"]
+    m_dc_eval, m_charges = lib["m_dc_eval"], lib["m_charges"]
+    q_jacobian = lib["q_jacobian"]
+
     jv0_hi = jnp.stack([jv_hi[k, :] for k in range(kj)])
     jv0_lo = jnp.stack([jv_lo[k, :] for k in range(kj)])
 
@@ -631,8 +766,16 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             n1, n2 = L["d_nodes"][kd]
             vnew = _df_add(x_hi[n1], x_lo[n1],
                            *_df_neg((x_hi[n2], x_lo[n2])))
-            jv_used[L["jv_d"] + kd] = limited_row(
-                L["jv_d"] + kd, vnew, vte[kd], invvte[kd], vcr[kd])
+            row = L["jv_d"] + kd
+            vold = (jvs_hi[row], jvs_lo[row])
+            vlim = _pnjlim_df(vnew, vold, vte[kd], invvte[kd], vcr[kd],
+                              lanes)
+            if physics:
+                # breakdown-frame overlay (engine/nlstate.py physics)
+                vlim = d_limit_bkd(kd, vnew, vold, vlim)
+            if warm:
+                vlim = _df_where(sel0, (jv0_hi[row], jv0_lo[row]), vlim)
+            jv_used[row] = vlim
         for kq in range(nq_):
             ncn, nbn, nen = L["q_nodes"][kq]
             npn = qrow["q_sign"][kq][0] > 0
@@ -680,22 +823,34 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
         for kd in range(nd_):
             n1, n2 = L["d_nodes"][kd]
             vd = jv_used[L["jv_d"] + kd]
-            arg = _df_mul(*vd, *invnvt[kd])
-            arg = _df_where(_df_gt(arg, c40), c40, arg)
-            e = df_exp(*arg)
-            ifwd = _df_mul(*ist[kd], *_df_add(*e, *_df_neg(one_df)))
-            fwd = _df_gt(vd, m3nvt[kd])  # vd > -3nVt
-            id_ = _df_where(fwd, ifwd, _df_neg(ist[kd]))
-            gfwd = _df_add(
-                *_df_mul(*_df_add(*_df_abs(id_), *ist[kd]), *invnvt[kd]),
-                *dgmin[kd])
-            gd = _df_where(fwd, gfwd, dgmin[kd])
-            if transient_terms:
-                # geq = Tt·gd/dt ; icap = (Tt·id − prev_charge)/dt
+            id_, gd = d_eval(kd, vd)
+            if transient_terms and not physics:
+                # geq = Tt·gd/dt ; icap = (Tt·id − prev_charge)/dt with the
+                # compat-frozen prev_charge (PLAN.md 1)
                 geq = _df_mul(*_df_mul(*dtt[kd], *gd), *dtinv)
                 cap = _df_mul(
                     *_df_add(*_df_mul(*dtt[kd], *id_), *_df_neg(pq[kd])),
                     *dtinv)
+                gdp = _df_add(*gd, *geq)
+                idp = _df_add(*id_, *cap)
+            elif transient_terms:
+                # physics: committed diffusion-charge memory from the state
+                # stack (assemble.py physics D block); trap runs the
+                # 2nd-order companion after the first committed step
+                dq = _df_mul(*_df_add(*_df_mul(*dtt[kd], *id_),
+                                      *_df_neg(st(L["d_pq_s"] + kd))),
+                             *dtinv)
+                geq_b = _df_mul(*_df_mul(*dtt[kd], *gd), *dtinv)
+                if trap:
+                    started = st(L["d_hist"] + kd)[0] > 0
+                    cap = _df_where(
+                        started,
+                        _df_add(*_df_twice(dq),
+                                *_df_neg(st(L["d_ic0"] + kd))), dq)
+                    geq = _df_where(started, _df_twice(geq_b), geq_b)
+                else:
+                    cap = dq
+                    geq = geq_b
                 gdp = _df_add(*gd, *geq)
                 idp = _df_add(*id_, *cap)
             else:  # OP/DC stamp: no companion (assemble.py skips when not tran)
@@ -796,23 +951,43 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
 
             if not transient_terms:
                 continue  # OP/DC stamp has no charge companions
-            # transient: C/dt entries + charge currents with compat-frozen
-            # previous charges (PLAN.md 1; state never committed)
+            # transient: C/dt entries + charge currents.  compat uses the
+            # frozen previous charges (PLAN.md 1; state never committed);
+            # physics the committed state rows, with the trapezoidal
+            # 2nd-order form after the first committed step (assemble.py
+            # physics M block)
             qgs, qgd, qgb, qbs, qbd = m_charges(
                 km, cut, cgs, cgd, cgb, vgs, vds, vbs)
             jcap = L["m_jcap"][km]  # static: junction caps identically zero
+            if trap:
+                m_started = st(L["m_hist_s"] + km)[0] > 0
 
             def icap(q, prev_key):
-                prev = mrow[prev_key][km]
-                return _df_mul(*_df_add(*q, *_df_neg(prev)), *dtinv)
+                if not physics:
+                    prev = mrow[prev_key][km]  # m_pq* const rows
+                    return _df_mul(*_df_add(*q, *_df_neg(prev)), *dtinv)
+                prev = st(L[prev_key.replace("m_pq", "m_q") + "_s"] + km)
+                dq = _df_mul(*_df_add(*q, *_df_neg(prev)), *dtinv)
+                if not trap:
+                    return dq
+                ic_prev = st(L[prev_key.replace("m_pq", "m_ic") + "_s"] + km)
+                return _df_where(
+                    m_started,
+                    _df_add(*_df_twice(dq), *_df_neg(ic_prev)), dq)
+
+            def cdt(c):
+                v = _df_mul(*c, *dtinv)
+                if trap:
+                    return _df_where(m_started, _df_twice(v), v)
+                return v
 
             icgs = icap(qgs, "m_pqgs")
             icgd = icap(qgd, "m_pqgd")
             icgb = icap(qgb, "m_pqgb")
 
-            cgd_dt = _df_mul(*cgd, *dtinv)
-            cgs_dt = _df_mul(*cgs, *dtinv)
-            cgb_dt = _df_mul(*cgb, *dtinv)
+            cgd_dt = cdt(cgd)
+            cgs_dt = cdt(cgs)
+            cgb_dt = cdt(cgb)
             addx(ngn, ndn, cgd_dt)
             addx(ndn, ngn, cgd_dt)
             addx(ngn, nsn, cgs_dt)
@@ -823,8 +998,8 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
             if jcap:
                 icbs = icap(qbs, "m_pqbs")
                 icbd = icap(qbd, "m_pqbd")
-                cbs_dt = _df_mul(*mrow["m_cbs"][km], *dtinv)
-                cbd_dt = _df_mul(*mrow["m_cbd"][km], *dtinv)
+                cbs_dt = cdt(mrow["m_cbs"][km])
+                cbd_dt = cdt(mrow["m_cbd"][km])
                 addx(nbn, nsn, cbs_dt)
                 addx(nsn, nbn, cbs_dt)
                 addx(nbn, ndn, cbd_dt)
@@ -1080,7 +1255,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk, mode,
         act_mask = dyn_hi[1 + nv_ + ni_ + 2 * nlm_ + 3 * nk_, :] > 0.5
         x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
             n, nd_, nq_, nm_, layout, cfgk, build_matrix, const, jv_hi,
-            jv_lo, dtinv, lanes, act_mask)
+            jv_lo, dtinv, lanes, act_mask, mode=mode, st=st)
 
     def xrow(r):
         return (x_hi[r], x_lo[r])
@@ -1170,6 +1345,62 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk, mode,
         put(L["l_v1"] + k, st(L["l_v0"] + k))
         put(L["l_flux0"] + k, _df_mul(*vd, *dt))
 
+    if mode != "compat" and (nd_ or nm_):
+        # physics D/M commit candidates (engine/state.py make_commit):
+        # devices re-evaluated at the RAW solution voltages — exactly the
+        # general engine's commit, which never applies pnjlim or cold start
+        lib_c = _device_eval_lib(nd_, nq_, nm_, layout, const, lanes, mode)
+        trap_c = mode == "phys_trap"
+        for kd in range(nd_):
+            n1, n2 = layout["d_nodes"][kd]
+            vd = diff_x(n1, n2)
+            id_, _gd = lib_c["d_eval"](kd, vd)
+            q_new = _df_mul(*lib_c["dtt"][kd], *id_)
+            dq = _df_mul(*_df_add(*q_new, *_df_neg(st(L["d_pq_s"] + kd))),
+                         *dtinv)
+            if trap_c:
+                started = st(L["d_hist"] + kd)[0] > 0
+                ic_new = _df_where(
+                    started,
+                    _df_add(*_df_twice(dq), *_df_neg(st(L["d_ic0"] + kd))),
+                    dq)
+            else:
+                ic_new = dq
+            put(L["d_pvd"] + kd, vd)
+            put(L["d_pid"] + kd, id_)
+            put(L["d_pq_s"] + kd, q_new)
+            put(L["d_ic0"] + kd, ic_new)
+            put(L["d_hist"] + kd, one_pair)
+        for km in range(nm_):
+            ndn, ngn, nsn, nbn = layout["m_nodes"][km]
+            sgn = lib_c["mrow"]["m_sign"][km]
+            vgs = _df_mul(*sgn, *diff_x(ngn, nsn))
+            vds = _df_mul(*sgn, *diff_x(ndn, nsn))
+            vbs = _df_mul(*sgn, *diff_x(nbn, nsn))
+            _id, _gm, _gds, _gmbs, cgs, cgd, cgb, cut, _il = (
+                lib_c["m_dc_eval"](km, layout["m_level"][km],
+                                   vgs, vds, vbs))
+            qn = lib_c["m_charges"](km, cut, cgs, cgd, cgb, vgs, vds, vbs)
+            if trap_c:
+                m_started = st(L["m_hist_s"] + km)[0] > 0
+            for qv, qkey, ikey in zip(
+                    qn, ("m_qgs_s", "m_qgd_s", "m_qgb_s", "m_qbs_s",
+                         "m_qbd_s"),
+                    ("m_icgs_s", "m_icgd_s", "m_icgb_s", "m_icbs_s",
+                     "m_icbd_s")):
+                dq = _df_mul(*_df_add(*qv, *_df_neg(st(L[qkey] + km))),
+                             *dtinv)
+                if trap_c:
+                    ic_new = _df_where(
+                        m_started,
+                        _df_add(*_df_twice(dq), *_df_neg(st(L[ikey] + km))),
+                        dq)
+                else:
+                    ic_new = dq
+                put(L[qkey] + km, qv)
+                put(L[ikey] + km, ic_new)
+            put(L["m_hist_s"] + km, one_pair)
+
     stout = jnp.stack([jnp.stack(out_rows_hi, axis=0),
                        jnp.stack(out_rows_lo, axis=0)])
     return xlte, stout, jvout
@@ -1223,13 +1454,18 @@ def _layout(cc, physics: bool = False):
          "linv": nr_ + 2 * nc_ + nl_}
     base_d = nr_ + 2 * nc_ + 2 * nl_
     # per-diode attempt-invariant rows: 1/(n·Vt(T)), −3·n·Vt(T), Is(T),
-    # device gmin, Tt, limiter vte = n·Vt_nom, 1/vte, vcrit, and the compat
-    # frozen prev_charge (PLAN.md 1: never committed, so attempt-invariant)
+    # device gmin, Tt, limiter vte = n·Vt_nom, 1/vte, vcrit, the compat
+    # frozen prev_charge (PLAN.md 1: never committed, so attempt-invariant),
+    # and the physics-mode Rs/Bv rows (models/diode.py dc_eval_physics):
+    # n·Vt(T), Rs, −Bv, the breakdown-frame limiter gate min(0, −Bv+10·vte)
+    # (engine/nlstate.py physics branch) and the Rs-Newton seed factor
+    # 1/(Rs·Is(T)) — zero/unused under compat
     for off, key in enumerate(("d_invnvt", "d_m3nvt", "d_ist", "d_gmin",
                                "d_tt", "d_vte", "d_invvte", "d_vcrit",
-                               "d_pq")):
+                               "d_pq", "d_nvt", "d_rs", "d_mbv",
+                               "d_bkgate", "d_invrsis")):
         L[key] = base_d + off * nd_
-    base_q = base_d + 9 * nd_
+    base_q = base_d + 14 * nd_
     # per-BJT attempt-invariant rows for the Ebers-Moll eval (models/bjt.py
     # currents), per-junction pnjlim at NOMINAL temperature (nlstate.py:64-67)
     # and the cold-start guess (bjt.go:110-120); inv_* rows are 0 when the
@@ -1273,6 +1509,19 @@ def _layout(cc, physics: bool = False):
         L.update({"c_i0": n_state, "c_hist": n_state + nc_,
                   "l_hist": n_state + 2 * nc_})
         n_state += 2 * nc_ + nl_
+        # physics D/M committed rows (engine/state.py make_commit): diode
+        # prev_vd/prev_id/prev_charge/ic0/hist, MOSFET five charges + five
+        # companion currents + hist — compat never commits these (PLAN.md 1)
+        for off, key in enumerate(("d_pvd", "d_pid", "d_pq_s", "d_ic0",
+                                   "d_hist")):
+            L[key] = n_state + off * nd_
+        n_state += 5 * nd_
+        for off, key in enumerate(("m_qgs_s", "m_qgd_s", "m_qgb_s",
+                                   "m_qbs_s", "m_qbd_s", "m_icgs_s",
+                                   "m_icgd_s", "m_icgb_s", "m_icbs_s",
+                                   "m_icbd_s", "m_hist_s")):
+            L[key] = n_state + off * nm_
+        n_state += 11 * nm_
     L["c_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["C"]["nodes"])]
                     if nc_ else [])
     L["l_nodes"] = ([tuple(map(int, r)) for r in np.asarray(cc.idx["L"]["nodes"])]
@@ -1301,6 +1550,13 @@ def _layout(cc, physics: bool = False):
                        for k in range(nm_)]
     else:
         L["m_jcap"] = []
+    # Static Rs gate (physics diode): devices whose deck model leaves Rs at
+    # 0 statically skip the 8-step seeded inner Newton (models/diode.py
+    # dc_eval_physics) — the loop is an exact no-op at Rs = 0.  Batched
+    # overrides that would flip the gate are rejected by
+    # fused_ineligible_reason (same contract as m_jcap).
+    L["d_rs_on"] = ([bool(np.asarray(cc.params["D"]["rs"])[k] > 0)
+                     for k in range(nd_)] if nd_ else [])
     return (nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_), L, n_const, n_state
 
 
@@ -1353,7 +1609,7 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
         rows.extend([lv, 1.0 / lv])
     if nd_:
         pdl = {k: _lanes(params["D"][k], nd_, bp)
-               for k in ("n", "is_", "tt", "gmin", "eg", "xti")}
+               for k in ("n", "is_", "tt", "gmin", "eg", "xti", "rs", "bv")}
         vt_t = diode_model.thermal_voltage(jnp.float64(temp))
         nvt = pdl["n"] * vt_t
         is_t = diode_model.temperature_adjusted_is(pdl, temp)
@@ -1363,9 +1619,18 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
         pq0 = state0.get("D", {}).get("prev_charge")
         pq0 = (jnp.zeros((nd_, bp), dtype=jnp.float64) if pq0 is None
                else _lanes(pq0, nd_, bp))
+        # physics Rs/Bv rows (models/diode.py dc_eval_physics +
+        # engine/nlstate.py breakdown frame); 1/(Rs·Is) guarded at Rs = 0
+        # (statically skipped by d_rs_on, value never consumed)
+        invrsis = jnp.where(pdl["rs"] > 0,
+                            1.0 / (jnp.where(pdl["rs"] > 0, pdl["rs"], 1.0)
+                                   * is_t), 0.0)
         rows.extend([1.0 / nvt, -3.0 * nvt, is_t, pdl["gmin"], pdl["tt"],
                      vte_lim, 1.0 / vte_lim,
-                     vcrit_fn(vte_lim, pdl["is_"]), pq0])
+                     vcrit_fn(vte_lim, pdl["is_"]), pq0,
+                     nvt, pdl["rs"], -pdl["bv"],
+                     jnp.minimum(0.0, -pdl["bv"] + 10.0 * vte_lim),
+                     invrsis])
     if nq_:
         pql = {k: _lanes(params["Q"][k], nq_, bp)
                for k in ("sign", "ies", "ics", "nf", "nr", "alphaf",
@@ -1437,7 +1702,7 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
 
 def make_tran_fused(cc, cfg, opts, block: int | None = None,
                     store: str = "none", resume: bool = False,
-                    semantics: str = "compat"):
+                    semantics: str = "compat", stream: bool = False):
     """Batched fused transient for eligible circuits.
 
     Returns fn(params, state0) -> TranOutput with a leading batch axis on
@@ -1451,9 +1716,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     end-of-interval source evaluation under trap, and LIVE Jiles-Atherton
     core state: the J-A update (magnetic.go:88-132 as used by
     engine/state.py make_commit) runs in exact XLA f64 in the attempt loop
-    carry, feeding the kernel per-attempt branch-row values.  Nonlinear
-    devices (D/Q/M) under physics stay on the general engine
-    (fused_ineligible_reason).
+    carry, feeding the kernel per-attempt branch-row values.  Physics
+    nonlinear devices (D/Q/M) run in-kernel too: the Rs/Bv diode eval with
+    breakdown-frame pnjlim, and committed D/M charge-memory companions
+    carried through the state stack (BE and trap).
 
     resume=True mirrors make_tran's resume flavor: fn(params, state0, t0,
     jv0) continues a checkpointed run — the OP re-bias is skipped, the
@@ -1483,6 +1749,9 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     if opts.integration == "trap" and not physics:
         raise ValueError("trapezoidal integration requires semantics='physics'"
                          " (compat reproduces the reference's backward Euler)")
+    if stream and store != "full":
+        raise ValueError("stream=True pauses lanes on a full waveform "
+                         "buffer and therefore requires store='full'")
     mode = "phys_trap" if trap else ("phys_be" if physics else "compat")
     counts, layout, n_const, n_state = _layout(cc, physics=physics)
     nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
@@ -1509,7 +1778,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     # steps/lane behind an 8192-lane emulated-f64 OP).  TOYSPICE_OP=general
     # forces the old path (A/B harness).
     op_fused_fn = None
-    if need_op and not resume and not cfg.uic and not physics:
+    if need_op and not resume and not cfg.uic:
         from .pallas_op import make_op_fused, op_fused_eligible
         if (op_fused_eligible(cc, semantics, opts)
                 and os.environ.get("TOYSPICE_OP", "auto") != "general"):
@@ -1536,7 +1805,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     temp = opts.temp
     trtol = opts.trtol
 
-    def tran_fused(params, state0, t0=None, jv0=None):
+    def tran_fused(params, state0, t0=None, jv0=None, dt0=None):
         if resume:
             assert t0 is not None, "resume=True requires the checkpoint time"
             assert jv0 is not None or not nonlin, (
@@ -1618,6 +1887,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 if mapped:
                     state0 = jax.vmap(op_seed, in_axes=(paxes, saxes0, 0))(
                         params, state0, opr.x)
+                elif op_fused_fn is not None:
+                    # the fused OP is batch-native: opr.x is (b, np1) even
+                    # for an unbatched run
+                    state0 = op_seed(params, state0, opr.x[0])
                 else:
                     state0 = op_seed(params, state0, opr.x)
 
@@ -1740,11 +2013,22 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                       srow("L", "flux0", nl_)]
         if physics:
             # extra committed rows the physics companions read/write
-            # (_layout physics=True): C current + hist, L hist
+            # (_layout physics=True): C current + hist, L hist, diode
+            # diffusion-charge memory, MOSFET charges + companion currents
             if nc_:
                 srows += [srow("C", "i0", nc_), srow("C", "hist", nc_)]
             if nl_:
                 srows += [srow("L", "hist", nl_)]
+            if nd_:
+                srows += [srow("D", "prev_vd", nd_),
+                          srow("D", "prev_id", nd_),
+                          srow("D", "prev_charge", nd_),
+                          srow("D", "ic0", nd_), srow("D", "hist", nd_)]
+            if nm_:
+                srows += [srow("M", key, nm_)
+                          for key in ("qgs", "qgd", "qgb", "qbs", "qbd",
+                                      "icgs", "icgd", "icgb", "icbs",
+                                      "icbd", "hist")]
         st64 = (jnp.concatenate(srows, axis=0) if srows
                 else jnp.zeros((1, bp), dtype=jnp.float64))
         st_hi0, st_lo0 = _hi_lo(st64)
@@ -1821,9 +2105,17 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
                 t_init = jnp.pad(t0a, (0, bp - t0a.shape[0]))
         else:
             t_init = jnp.zeros(bp, dtype=f64)
+        if dt0 is None:
+            dt_init = jnp.full(bp, cfg.minstep, dtype=f64)
+        else:
+            # continue the EXACT adaptive-dt trajectory (streamed store)
+            dt0a = jnp.asarray(dt0, dtype=f64)
+            dt_init = (jnp.full(bp, dt0a, dtype=f64) if dt0a.ndim == 0
+                       else jnp.pad(dt0a, (0, bp - dt0a.shape[0]),
+                                    constant_values=cfg.minstep))
         carry0 = dict(
             t=t_init,
-            dt=jnp.full(bp, cfg.minstep, dtype=f64),
+            dt=dt_init,
             done=pad | (t_init >= cfg.tstop) | jnp.full(bp, cfg.tstop <= 0.0),
             fail=jnp.zeros(bp, dtype=bool),
             st_hi=fold(st_hi0), st_lo=fold(st_lo0),
@@ -1866,11 +2158,19 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         unroll = int(os.environ.get("TOYSPICE_TRAN_UNROLL", "8"))
 
         def cond(c):
-            return jnp.any((~c["done"]) & (c["attempts"] < cfg.max_attempts))
+            live = (~c["done"]) & (c["attempts"] < cfg.max_attempts)
+            if stream:
+                # streamed store: lanes PAUSE (not fail) when their waveform
+                # buffer is full; the caller drains it and re-enters with
+                # (t_final, dt_final, state, jv) — same compiled program
+                live = live & (c["n_kept"] < cfg.max_store)
+            return jnp.any(live)
 
         def body(c):
             t, dt = c["t"], c["dt"]
             active = (~c["done"]) & (c["attempts"] < cfg.max_attempts)
+            if stream:
+                active = active & (c["n_kept"] < cfg.max_store)
             next_t = jnp.minimum(t + dt, cfg.tstop)
             dt_eff = jnp.where(t + dt > cfg.tstop, cfg.tstop - t, dt)
 
@@ -2111,11 +2411,34 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         if nonlin:
             # compat: diode/BJT transient state is never committed (PLAN.md
             # 1) — pass state0 through, broadcast to the batch like the
-            # general engine's vmapped tree_map does
+            # general engine's vmapped tree_map does.  physics commits D/M
+            # in-kernel (state stack rows); Q has no committed state in
+            # either semantics (engine/state.py make_commit has no Q branch)
             for kind, nk in (("D", nd_), ("Q", nq_), ("M", nm_)):
-                if nk and kind in state0:
-                    state[kind] = {k: _lanes(state0[kind][k], nk, bp)[:, :b].T
-                                   for k in state0[kind]}
+                if not nk or kind not in state0:
+                    continue
+                if physics and kind == "D":
+                    state["D"] = {
+                        "prev_vd": grab(layout["d_pvd"], nd_),
+                        "prev_id": grab(layout["d_pid"], nd_),
+                        "prev_charge": grab(layout["d_pq_s"], nd_),
+                        "ic0": grab(layout["d_ic0"], nd_),
+                        "hist": grab(layout["d_hist"], nd_),
+                    }
+                elif physics and kind == "M":
+                    state["M"] = {
+                        key: grab(layout[row], nm_)
+                        for key, row in (
+                            ("qgs", "m_qgs_s"), ("qgd", "m_qgd_s"),
+                            ("qgb", "m_qgb_s"), ("qbs", "m_qbs_s"),
+                            ("qbd", "m_qbd_s"), ("icgs", "m_icgs_s"),
+                            ("icgd", "m_icgd_s"), ("icgb", "m_icgb_s"),
+                            ("icbs", "m_icbs_s"), ("icbd", "m_icbd_s"),
+                            ("hist", "m_hist_s"))}
+                else:
+                    state[kind] = {
+                        k: _lanes(state0[kind][k], nk, bp)[:, :b].T
+                        for k in state0[kind]}
             jvf = (c["jv_hi"].astype(f64)
                    + c["jv_lo"].astype(f64)).reshape(kj, bp)[:, :b]
             jv_out = {}
@@ -2232,6 +2555,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             state=state,
             jv=jv_out,
             store_overflow=overflow,
+            dt_final=c["dt"][:b],
         )
 
     return tran_fused

@@ -132,8 +132,12 @@ def test_op_fused_eligibility():
     lin = compile_circuit(parse(
         "* lin\n.op\nV1 1 0 DC 1\nR1 1 0 1k\n"))
     assert op_fused_ineligible_reason(lin) is not None
-    assert "physics" in op_fused_ineligible_reason(
-        compile_circuit(parse(D_DIV)), "physics")
+    dcc = compile_circuit(parse(D_DIV))
+    # round 4: the fused OP serves physics too (Rs/Bv eval in-kernel)
+    assert op_fused_ineligible_reason(dcc, "physics") is None
+    # same static-Rs-gate contract as the fused transient
+    assert "Rs" in op_fused_ineligible_reason(
+        dcc, "physics", params={"D": {"rs": np.ones((2, 1))}})
 
 
 def test_dc_fused_diode():

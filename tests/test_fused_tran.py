@@ -183,7 +183,7 @@ def test_fused_eligibility_gates():
     opts = DEFAULTS
     cc = compile_circuit(parse(RC_SIN))
     assert fused_eligible(cc, "compat", "none", opts)
-    assert not fused_eligible(cc, "physics", "none", opts)
+    assert fused_eligible(cc, "physics", "none", opts)  # physics linear
     assert fused_eligible(cc, "compat", "full", opts)  # waveform store
     assert not fused_eligible(cc, "compat", "sparse", opts)
     assert not fused_eligible(cc, "compat", "none",
@@ -191,19 +191,32 @@ def test_fused_eligibility_gates():
     dcc = compile_circuit(parse(
         "* d\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nD1 2 0 D\n"))
     assert fused_eligible(dcc, "compat", "none", opts)  # in-kernel Newton
+    # round 4: physics nonlinear fuses too (Rs/Bv eval + committed
+    # charge-memory companions in-kernel)
+    assert fused_eligible(dcc, "physics", "none", opts)
+    assert fused_eligible(dcc, "physics", "none",
+                          SimOptions(integration="trap"))
+    # ... but a batched override ENABLING Rs on a device whose deck leaves
+    # it 0 would bypass the static Rs gate — rejected
+    assert not fused_eligible(dcc, "physics", "none", opts,
+                              params={"D": {"rs": np.ones((4, 1))}})
+    assert fused_eligible(dcc, "compat", "none", opts,
+                          params={"D": {"rs": np.ones((4, 1))}})
     qcc = compile_circuit(parse(
         "* q\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nQ1 1 2 0 QX\n"
         ".model QX NPN (Bf=100)\n"))
     assert fused_eligible(qcc, "compat", "none", opts)  # in-kernel Newton
+    assert fused_eligible(qcc, "physics", "none", opts)
     mcc = compile_circuit(parse(
         "* m\n.tran 0.1m 1m\nV1 1 0 DC 1\nR1 1 2 1k\nM1 2 1 0 0 MX\n"
         ".model MX NMOS (Vto=1)\n"))
     assert fused_eligible(mcc, "compat", "none", opts)  # in-kernel Newton
+    assert fused_eligible(mcc, "physics", "none", opts)
     lmcc = compile_circuit(parse(
         "* lm\n.tran 0.1m 1m\nV1 1 0 SIN(0 1 1k)\nL1 1 2 core=CX turns=50\n"
         "R1 2 0 10\n.model CX CORE (Ms=1.6meg)\n"))
     assert fused_eligible(lmcc, "compat", "none", opts)  # frozen J-A core
-    assert not fused_eligible(lmcc, "physics", "none", opts)
+    assert fused_eligible(lmcc, "physics", "none", opts)  # live J-A core
 
 
 # ---- transformer decks: mutual couplings + magnetic inductors ----

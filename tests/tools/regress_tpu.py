@@ -22,9 +22,12 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 STAGES = [
     ("solver A/B (22-deck sweep, XLA f64 vs Pallas df)",
      [sys.executable, "tests/tools/ab_solver.py", "all"]),
-    ("fused transient A/B (12 compat decks + physics/trap, general vs "
-     "fused kernel)",
+    ("fused transient A/B (12 compat decks + physics BE/trap incl. "
+     "nonlinear, general vs fused kernel)",
      [sys.executable, "tests/tools/ab_fused_tran.py"]),
+    ("fused OP/DC A/B (nonlinear OP decks + DC sweep, general vs fused "
+     "OP/Newton kernel)",
+     [sys.executable, "tests/tools/ab_fused_op.py"]),
     ("headline benchmark (bench.py)",
      [sys.executable, "bench.py"]),
     ("per-class benchmark matrix (bench_matrix.py -> BENCH_MATRIX.json)",
@@ -32,7 +35,7 @@ STAGES = [
 ]
 
 
-def run_stage(title, cmd, timeout=1500):
+def run_stage(title, cmd, timeout=2400):
     env = dict(os.environ)
     # persistent XLA compile cache across stages/retries (the TPU transient
     # engines take ~30 s each to compile cold)

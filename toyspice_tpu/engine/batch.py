@@ -194,22 +194,23 @@ def stream_transient_chunks(cc, cfg: TranConfig, params, state0,
     Caveat: ``cfg.max_attempts`` bounds attempts per CHUNK, not per run.
     Hard-failed lanes are excluded from re-entry (their fail flag is
     reported in the chunk where they failed)."""
-    import numpy as np
-
     fresh, cont = fns if fns is not None else make_tran_stream(
         cc, cfg, chunk_store, semantics, opts, params)
+    # continuation decision as ONE device-side scalar: separate t_final /
+    # fail array fetches cost a 23 ms tunnel round trip each per chunk
+    dec = jax.jit(lambda fa, f, t: (
+        fa | f, jnp.any((~(fa | f)) & (t < cfg.tstop))))
     out = fresh(params, state0)
     yield out
-    fail_any = np.asarray(out.fail).copy()
+    fail_any = out.fail
     while True:
-        t = np.asarray(out.t_final)
-        fail_any |= np.asarray(out.fail)
-        live = (~fail_any) & (t < cfg.tstop)
-        if not np.any(live):
+        fail_any, more = dec(fail_any, out.fail, out.t_final)
+        if not bool(more):
             return
         # park finished/failed lanes at tstop: they start done and are
         # frozen by the in-loop masks (their state/jv rows are untouched)
-        t_next = jnp.asarray(np.where(live, t, cfg.tstop))
+        t_next = jnp.where((~fail_any) & (out.t_final < cfg.tstop),
+                           out.t_final, cfg.tstop)
         out = cont(params, out.state, t_next, out.jv, out.dt_final)
         yield out
 

@@ -241,6 +241,17 @@ def _op_kernel(n, counts, layout, cells, rhs_cells, cfgk, flavor, gmin_floor,
     jvout_ref[...] = jvout
 
 
+def _default_block(cc):
+    """Lanes per kernel block.  Small systems take the maximal block; n >= 6
+    (BJT/MOSFET branch-row decks) drop to 2048: the OP kernel's scoped VMEM
+    grows with n^2 x blk and a bjt2-shaped n=7 block at 8192 lanes exceeds
+    the 16M scoped-vmem limit by 3M (measured OOM at compile, 2026-08-21)."""
+    n = cc.np1
+    if n >= 6:
+        return int(os.environ.get("TOYSPICE_BLOCK", "2048"))
+    return int(os.environ.get("TOYSPICE_BLOCK_NL", "8192"))
+
+
 # ---------------------------------------------------------------- wrappers
 
 
@@ -399,7 +410,7 @@ def make_op_fused(cc, opts, semantics: str = "compat",
     kj = nd_ + 2 * nq_ + 3 * nm_
     cfgk = (opts.reltol, opts.abstol, opts.max_iter)
     if block is None:
-        block = int(os.environ.get("TOYSPICE_BLOCK_NL", "8192"))
+        block = _default_block(cc)
     temp = opts.temp
     f64 = jnp.float64
     factors = jnp.asarray(SOURCE_FACTORS, dtype=jnp.float64)
@@ -567,7 +578,7 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
     kj = nd_ + 2 * nq_ + 3 * nm_
     cfgk = (opts.reltol, opts.abstol, opts.max_iter)
     if block is None:
-        block = int(os.environ.get("TOYSPICE_BLOCK_NL", "8192"))
+        block = _default_block(cc)
     temp = opts.temp
     f64 = jnp.float64
 

@@ -1584,31 +1584,42 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
     (make_tran_fused) and the fused OP/Newton kernel (ops/pallas_op.py) —
     both stamp the same device physics, so the precombined parameter rows
     (diode Is(T)/limiter rows, BJT Ebers-Moll factors + cold start, MOSFET
-    level constants + Meyer/junction caps) are identical."""
+    level constants + Meyer/junction caps) are identical.
+
+    Rows are computed at the leaves' NATURAL width — (nk,) shared or
+    (B, nk) batched — and broadcast to (nk, bp) only at the end: computing
+    the transcendental-heavy rows (Is(T), vcrit, the BJT cold start, MOSFET
+    beta factors) at full lane width in emulated f64 cost a measured
+    25-32 ms PER CALL at B=8192 on v5e, which dominated every short
+    workload fronted by the fused OP (the whole 40-point DC sweep ran in
+    27 ms, 24 of it this prologue)."""
     from ..models import bjt as bjt_model
     from ..models import diode as diode_model
     from ..models.limiter import vcrit as vcrit_fn
 
     nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     dtemp = temp - TEMP_DEFAULT
+    f64 = jnp.float64
 
-    def tadj(tbl, nk, b):
-        v = _lanes(tbl["value"], nk, b)
-        tc1 = _lanes(tbl["tc1"], nk, b)
-        tc2 = _lanes(tbl["tc2"], nk, b)
-        return v * (1.0 + tc1 * dtemp + tc2 * dtemp * dtemp)
+    def nat(tbl):
+        return {k: jnp.asarray(v, dtype=f64) for k, v in tbl.items()}
+
+    def tadj(tbl):
+        p = nat(tbl)
+        return p["value"] * (1.0 + p["tc1"] * dtemp
+                             + p["tc2"] * dtemp * dtemp)
 
     rows = []
     if nr_:
-        rows.append(1.0 / tadj(params["R"], nr_, bp))
+        rows.append(1.0 / tadj(params["R"]))
     if nc_:
-        rows.append(tadj(params["C"], nc_, bp))
-        rows.append(_lanes(params["C"]["value"], nc_, bp))
+        rows.append(tadj(params["C"]))
+        rows.append(jnp.asarray(params["C"]["value"], dtype=f64))
     if nl_:
-        lv = _lanes(params["L"]["value"], nl_, bp)
+        lv = jnp.asarray(params["L"]["value"], dtype=f64)
         rows.extend([lv, 1.0 / lv])
     if nd_:
-        pdl = {k: _lanes(params["D"][k], nd_, bp)
+        pdl = {k: jnp.asarray(params["D"][k], dtype=f64)
                for k in ("n", "is_", "tt", "gmin", "eg", "xti", "rs", "bv")}
         vt_t = diode_model.thermal_voltage(jnp.float64(temp))
         nvt = pdl["n"] * vt_t
@@ -1617,8 +1628,8 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
         # (engine/nlstate.py:22,49-51), unlike the device eval
         vte_lim = pdl["n"] * (BOLTZMANN * TEMP_DEFAULT / CHARGE)
         pq0 = state0.get("D", {}).get("prev_charge")
-        pq0 = (jnp.zeros((nd_, bp), dtype=jnp.float64) if pq0 is None
-               else _lanes(pq0, nd_, bp))
+        pq0 = (jnp.zeros(nd_, dtype=f64) if pq0 is None
+               else jnp.asarray(pq0, dtype=f64))
         # physics Rs/Bv rows (models/diode.py dc_eval_physics +
         # engine/nlstate.py breakdown frame); 1/(Rs·Is) guarded at Rs = 0
         # (statically skipped by d_rs_on, value never consumed)
@@ -1632,7 +1643,7 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
                      jnp.minimum(0.0, -pdl["bv"] + 10.0 * vte_lim),
                      invrsis])
     if nq_:
-        pql = {k: _lanes(params["Q"][k], nq_, bp)
+        pql = {k: jnp.asarray(params["Q"][k], dtype=f64)
                for k in ("sign", "ies", "ics", "nf", "nr", "alphaf",
                          "vaf", "var", "ikf", "ikr")}
         vtq = bjt_model.thermal_voltage(jnp.float64(temp))
@@ -1658,7 +1669,7 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
             vbe0, vbc0,
         ])
     if nm_:
-        pml = {k: _lanes(params["M"][k], nm_, bp)
+        pml = {k: jnp.asarray(params["M"][k], dtype=f64)
                for k in ("sign", "vto", "gamma", "phi", "kp", "w", "l",
                          "lam", "tox", "uo", "ucrit", "uexp", "vmax",
                          "theta", "kappa", "delta", "cgso", "cgdo",
@@ -1682,22 +1693,37 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
 
         def mq0(key):
             leaf = state0.get("M", {}).get(key)
-            return (jnp.zeros((nm_, bp), dtype=jnp.float64)
-                    if leaf is None else _lanes(leaf, nm_, bp))
+            return (jnp.zeros(nm_, dtype=f64)
+                    if leaf is None else jnp.asarray(leaf, dtype=f64))
 
         rows.extend([
             pml["sign"], pml["vto"], pml["gamma"], pml["phi"],
             jnp.sqrt(pml["phi"]), beta1, pml["lam"],
             e2u, pml["uexp"], b2u, vmlu,
-            (pml["uo"] > 0).astype(jnp.float64), pml["vmax"],
+            (pml["uo"] > 0).astype(f64), pml["vmax"],
             pml["theta"], pml["kappa"], beta3,
             cox * pml["w"] * pml["l"], pml["cgso"] * pml["w"],
             pml["cgdo"] * pml["w"], pml["cgbo"] * pml["l"],
             cbs_eff, cbd_eff, 1.0 / pml["pb"], pml["mj"],
             mq0("qgs"), mq0("qgd"), mq0("qgb"), mq0("qbs"), mq0("qbd"),
         ])
-    return (jnp.concatenate(rows, axis=0) if rows
-            else jnp.zeros((1, bp), dtype=jnp.float64))
+    if not rows:
+        return jnp.zeros((1, bp), dtype=f64)
+    # broadcast each row to the (nk, bp) lane layout LAST (cheap memory
+    # ops; the math above ran at natural width)
+    out = []
+    for r in rows:
+        r = jnp.asarray(r, dtype=f64)
+        if r.ndim == 0:
+            r = r[None]
+        if r.ndim == 1:
+            out.append(jnp.broadcast_to(r[:, None], (r.shape[0], bp)))
+        else:  # (B, nk) batched leaf
+            t_ = jnp.transpose(r, (1, 0))
+            if t_.shape[1] != bp:
+                t_ = jnp.pad(t_, ((0, 0), (0, bp - t_.shape[1])))
+            out.append(t_)
+    return jnp.concatenate(out, axis=0)
 
 
 def make_tran_fused(cc, cfg, opts, block: int | None = None,

@@ -1825,6 +1825,11 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     # overhead on short runs.
     if block is None:
         if nd_ and not (nq_ or nm_):
+            # Block-size sweeps on the tunneled v5e are INCONCLUSIVE: an
+            # interleaved 2048/8192 A/B on diode2 measured 0.7-98 M
+            # steps/s for IDENTICAL configs (2026-08-21, PARITY.md
+            # "variance" note) — worker stalls and warm-up dwarf any block
+            # effect at sub-second walls.  Keep the long-standing default.
             block = int(os.environ.get("TOYSPICE_BLOCK_NL", "8192"))
         else:
             block = int(os.environ.get("TOYSPICE_BLOCK", "1024"))

@@ -252,6 +252,178 @@ def _default_block(cc):
     return int(os.environ.get("TOYSPICE_BLOCK_NL", "8192"))
 
 
+def _dc_sweep_core(n, counts, layout, cells, rhs_cells, cfgk, gmin_floor,
+                   mode, n_pts, const_hi, const_lo, dyn_hi, dyn_lo,
+                   vs_hi, vs_lo, jv_hi, jv_lo, cpu_build=False):
+    """The ENTIRE DC sweep in one kernel: a ``fori_loop`` over sweep points
+    around the in-kernel Newton (warm-started jv carried point to point in
+    VMEM), exactly the lax.scan-of-kernels semantics of ``make_dc_fused``'s
+    scan path — but ONE launch instead of P, and none of the ~1 ms/point
+    XLA-side glue the round-4 attribution measured (PARITY.md).
+
+    dyn rows: [act, isrc(ni), lrhs(nl)]; ``vs`` rows are the PER-POINT
+    voltage-source values, (n_pts*nv, lanes) — only the RHS vsrc slots
+    change across points, so the matrix base cells are built once and the
+    per-point values ride the extra dict into the shared build.
+    Returns (out, jvout): out rows = n_pts * (x(n), iters, conv)."""
+    nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
+    f32 = jnp.float32
+    lanes = dyn_hi.shape[1:]
+    zero = jnp.zeros(lanes, dtype=f32)
+    zz = (zero, zero)
+
+    def const(r):
+        return (const_hi[r, :], const_lo[r, :])
+
+    def dyn(r):
+        return (dyn_hi[r, :], dyn_lo[r, :])
+
+    L = layout
+    act_mask = dyn(0)[0] > f32(0.5)
+    isrc = [dyn(1 + k) for k in range(ni_)]
+    lrhs = [dyn(1 + ni_ + k) for k in range(nl_)]
+
+    # OP-mode linear tables (assemble.py mode="op"); status_gmin is 0 for
+    # DC points (dc.go:142-187 runs plain NR), so C leaks the floor
+    gc = _df_const(gmin_floor, lanes)
+    c1e9 = _df_const(1e9, lanes)
+    g = [const(L["g"] + k) for k in range(nr_)]
+    lterm = [_df_mul(*const(L["lval"] + k), *c1e9) for k in range(nl_)]
+    tables = {"g": g, "geq": [gc] * nc_, "ceq": [zz] * nc_,
+              "lterm": lterm, "lrhs": lrhs, "vsrc": [zz] * nv_,
+              "isrc": isrc,
+              "lmterm": [_df_const(-1e-3, lanes)] * nlm_,
+              "lmrhs": [zz] * nlm_, "kterm": [zz] * nk_,
+              "krhsa": [zz] * nk_, "krhsb": [zz] * nk_}
+
+    def term_value(tag, k, sg):
+        if tag == "one":
+            return (jnp.full(lanes, f32(sg)), zero)
+        v = tables[tag][k]
+        return v if sg > 0 else _df_neg(v)
+
+    def cell_sum(terms):
+        acc = None
+        for t_ in terms:
+            v = term_value(*t_)
+            acc = v if acc is None else _df_add(*acc, *v)
+        return acc if acc is not None else zz
+
+    one = jnp.ones(lanes, dtype=f32)
+    base = {}
+    for i in range(1, n):
+        for j in range(n + 1):
+            terms = rhs_cells.get(i, []) if j == n else cells.get((i, j), [])
+            # vsrc terms are per-point: stripped from the base, re-added via
+            # the extra dict inside the point loop
+            terms = [t_ for t_ in terms if t_[0] != "vsrc"]
+            if terms:
+                base[(i, j)] = cell_sum(terms)
+    vsrc_slots = [(i, k, sg) for i, terms in rhs_cells.items()
+                  for (tag, k, sg) in terms if tag == "vsrc"]
+
+    def cell(i, j, extra):
+        if i == 0:
+            return (one, zero) if j == 0 else zz
+        v = base.get((i, j), zz)
+        e = extra.get((i, j))
+        if e is not None:
+            v = _df_add(*v, *e)
+        return v
+
+    if cpu_build:
+        def build_matrix(extra):
+            m_hi = jnp.zeros((n, n + 1) + lanes, dtype=f32)
+            m_lo = jnp.zeros_like(m_hi)
+            for i in range(n):
+                for j in range(n + 1):
+                    v = cell(i, j, extra)
+                    if v[0] is not zero:
+                        m_hi = m_hi.at[i, j].set(v[0])
+                    if v[1] is not zero:
+                        m_lo = m_lo.at[i, j].set(v[1])
+            return m_hi, m_lo
+    else:
+        def build_matrix(extra):
+            row_his, row_los = [], []
+            for i in range(n):
+                col_his = [cell(i, j, extra)[0] for j in range(n + 1)]
+                col_los = [cell(i, j, extra)[1] for j in range(n + 1)]
+                row_his.append(jnp.stack(col_his, axis=0))
+                row_los.append(jnp.stack(col_los, axis=0))
+            return jnp.stack(row_his, axis=0), jnp.stack(row_los, axis=0)
+
+    zn = jnp.zeros((n,) + lanes, dtype=f32)
+    kj = nd_ + 2 * nq_ + 3 * nm_
+    # vs rows viewed as (P, nv, lanes): Mosaic has no dynamic_slice on
+    # register arrays, so per-point reads are STATIC select chains and the
+    # per-point output write is ONE broadcast select over a (P, n+2, lanes)
+    # carry (iota-vs-pt mask)
+    vs_h4 = vs_hi.reshape((n_pts, nv_) + lanes)
+    vs_l4 = vs_lo.reshape((n_pts, nv_) + lanes)
+
+    def body(pt, carry):
+        jh, jl, oh, ol = carry
+
+        def vrow(k):
+            ah, al = vs_h4[0, k], vs_l4[0, k]
+            for q in range(1, n_pts):
+                sel = pt == q
+                ah = jnp.where(sel, vs_h4[q, k], ah)
+                al = jnp.where(sel, vs_l4[q, k], al)
+            return (ah, al)
+
+        vextra = {}
+        for (i, k, sg) in vsrc_slots:
+            v = vrow(k)
+            if sg < 0:
+                v = _df_neg(v)
+            cur = vextra.get((i, n))
+            vextra[(i, n)] = v if cur is None else _df_add(*cur, *v)
+
+        def build_p(extra):
+            e = dict(vextra)
+            for key, v in extra.items():
+                cur = e.get(key)
+                e[key] = v if cur is None else _df_add(*cur, *v)
+            return build_matrix(e)
+
+        x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
+            n, nd_, nq_, nm_, layout, cfgk, build_p, const, jh, jl,
+            zz, lanes, act_mask, flavor="dc", gmin=None, x0=(zn, zn),
+            transient_terms=False, mode=mode)
+        rows_hi = jnp.concatenate(
+            [x_hi, nr_k.astype(f32)[None], nr_conv.astype(f32)[None]])
+        rows_lo = jnp.concatenate([x_lo, zero[None], zero[None]])
+        pidx = jnp.asarray(
+            np.arange(n_pts, dtype=np.int32).reshape((n_pts,) + (1,) * 3))
+        pmask = pidx == pt
+        oh = jnp.where(pmask, rows_hi[None], oh)
+        ol = jnp.where(pmask, rows_lo[None], ol)
+        return (jvout[0], jvout[1], oh, ol)
+
+    out0 = jnp.zeros((n_pts, n + 2) + lanes, dtype=f32)
+    jh, jl, oh, ol = jax.lax.fori_loop(
+        0, n_pts, body, (jv_hi, jv_lo, out0, out0))
+    oh = oh.reshape((n_pts * (n + 2),) + lanes)
+    ol = ol.reshape((n_pts * (n + 2),) + lanes)
+    return jnp.stack([oh, ol]), jnp.stack([jh, jl])
+
+
+@_unpinned
+def _dc_sweep_kernel(n, counts, layout, cells, rhs_cells, cfgk, gmin_floor,
+                     mode, n_pts, dus_build, const_hi_ref, const_lo_ref,
+                     dyn_hi_ref, dyn_lo_ref, vs_ref, jv_ref,
+                     out_ref, jvout_ref):
+    out, jvout = _dc_sweep_core(
+        n, counts, layout, cells, rhs_cells, cfgk, gmin_floor, mode, n_pts,
+        const_hi_ref[...], const_lo_ref[...],
+        dyn_hi_ref[...], dyn_lo_ref[...],
+        vs_ref[0], vs_ref[1], jv_ref[0], jv_ref[1], cpu_build=dus_build)
+    out_ref[...] = out
+    jvout_ref[...] = jvout
+
+
 # ---------------------------------------------------------------- wrappers
 
 
@@ -558,15 +730,124 @@ def make_op_fused(cc, opts, semantics: str = "compat",
     return op_fused
 
 
+def _dc_sweep_call(cc, counts, layout, cells, rhs_cells, cfgk, gmin_floor,
+                   mode, src_slots, params, points, const_hi, const_lo,
+                   pv, t0, isrc64, lrhs64, b, bp, blk, n, kj):
+    """Invoke the whole-sweep kernel: builds the per-point vsrc value stack
+    (natural width when sources are unbatched — the emulated-f64 waveform
+    math then runs at (P, nv) instead of (P, nv, bp)), folds everything to
+    lane tiles and returns (xs (b, P, n), conv (b, P))."""
+    import functools as _ft
+
+    from ..models.sources import eval_sources, eval_sources_lanes
+
+    nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
+    f64 = jnp.float64
+    f32 = jnp.float32
+    w = blk // 8
+    n_pts = int(points.shape[0])
+    stype = cc.idx["V"]["stype"]
+
+    unbatched = all(jnp.asarray(v).ndim == (2 if k in ("pwl_t", "pwl_v")
+                                            else 1)
+                    for k, v in params["V"].items())
+    if unbatched:
+        pnat = {k: jnp.asarray(v, dtype=f64) for k, v in params["V"].items()}
+
+        def at_point(vals):
+            dc = pnat["dc"]
+            if len(src_slots) == 1:
+                dc = dc.at[src_slots[0]].set(vals)
+            else:
+                dc = dc.at[src_slots[0]].set(vals[0])
+                dc = dc.at[src_slots[1]].set(vals[1])
+            return eval_sources(stype, {**pnat, "dc": dc}, 0.0)
+
+        vs_nat = jax.vmap(at_point)(points)  # (P, nv)
+        vs64 = jnp.broadcast_to(vs_nat.reshape(n_pts * nv_)[:, None],
+                                (n_pts * nv_, bp))
+    else:
+        def at_point(vals):
+            pv2 = dict(pv)
+            dc = pv["dc"]
+            if len(src_slots) == 1:
+                dc = dc.at[..., src_slots[0]].set(vals)
+            else:
+                dc = dc.at[..., src_slots[0]].set(vals[0])
+                dc = dc.at[..., src_slots[1]].set(vals[1])
+            pv2["dc"] = dc
+            return eval_sources_lanes(stype, pv2, t0, bp)
+
+        vs64 = jax.vmap(at_point)(points).reshape(n_pts * nv_, bp)
+    vs_hi, vs_lo = _hi_lo(vs64)
+
+    def fold(x):
+        return x.reshape(x.shape[0], 8, bp // 8)
+
+    vs_st = jnp.stack([fold(vs_hi), fold(vs_lo)])
+    lane = jnp.arange(bp)
+    drows = [(lane < b).astype(f64)[None, :]]
+    if ni_:
+        drows.append(isrc64)
+    if nl_:
+        drows.append(lrhs64)
+    dyn64 = jnp.concatenate(drows, axis=0)
+    dyn_hi, dyn_lo = _hi_lo(dyn64)
+    jv_zero = jnp.zeros((2, kj, 8, bp // 8), dtype=f32)
+
+    kernel = _ft.partial(
+        _dc_sweep_kernel, n, counts, layout, cells, rhs_cells, cfgk,
+        gmin_floor, mode, n_pts,
+        os.environ.get("TOYSPICE_TRAN_KERNEL_BUILD") == "dus")
+    zero_i = np.int32(0)
+
+    def vec(rows_):
+        return pl.BlockSpec((rows_, 8, w), lambda i: (zero_i, zero_i, i),
+                            memory_space=pltpu.VMEM)
+
+    def vec2(rows_):
+        return pl.BlockSpec((2, rows_, 8, w),
+                            lambda i: (zero_i, zero_i, zero_i, i),
+                            memory_space=pltpu.VMEM)
+
+    if os.environ.get("TOYSPICE_TRAN_IMPL", "kernel") == "xla":
+        out, _jvout = _dc_sweep_core(
+            n, counts, layout, cells, rhs_cells, cfgk, gmin_floor, mode,
+            n_pts, const_hi, const_lo,
+            fold(dyn_hi), fold(dyn_lo), vs_st[0], vs_st[1],
+            jv_zero[0], jv_zero[1], cpu_build=True)
+    else:
+        out, _jvout = pl.pallas_call(
+            kernel,
+            grid=(bp // blk,),
+            in_specs=[vec(const_hi.shape[0])] * 2
+                     + [vec(dyn_hi.shape[0])] * 2
+                     + [vec2(n_pts * nv_), vec2(kj)],
+            out_specs=(vec2(n_pts * (n + 2)), vec2(kj)),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, n_pts * (n + 2), 8, bp // 8), f32),
+                jax.ShapeDtypeStruct((2, kj, 8, bp // 8), f32),
+            ),
+        )(const_hi, const_lo, fold(dyn_hi), fold(dyn_lo), vs_st, jv_zero)
+    o64 = (out[0].astype(f64) + out[1].astype(f64)).reshape(-1, bp)[:, :b]
+    o64 = o64.reshape(n_pts, n + 2, b)
+    xs = jnp.transpose(o64[:, :n, :], (2, 0, 1))   # (b, P, n)
+    conv = jnp.transpose(o64[:, n + 1, :] > 0.5)   # (b, P)
+    return xs, conv
+
+
 def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
                   block: int | None = None):
     """Batched fused DC sweep: fn(params, state0, points) -> (xs, conv) with
     xs (b, P, np1) and conv (b, P).  Each sweep point is one kernel dispatch
     of the DC-flavor Newton (warm start + CheckConvergence, dc.go:142-187),
-    junction voltages carried point to point through a ``lax.scan`` —
-    semantics identical to vmap(make_dc(...)) but with the whole per-point
-    Newton loop in VMEM."""
-    from ..models.sources import eval_sources_lanes
+    junction voltages carried point to point — semantics identical to
+    vmap(make_dc(...)).  By default the ENTIRE sweep is ONE kernel launch
+    (``_dc_sweep_core``: a fori_loop over points around the in-kernel
+    Newton, jv carried in VMEM); TOYSPICE_DC_SWEEP=scan falls back to a
+    ``lax.scan`` of per-point kernel dispatches (the round-4 attribution
+    measured ~1 ms/point of launch+glue on the scan path)."""
+    from ..models.sources import eval_sources, eval_sources_lanes
 
     why = op_fused_ineligible_reason(cc, semantics, opts)
     if why is not None:
@@ -581,6 +862,11 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
         block = _default_block(cc)
     temp = opts.temp
     f64 = jnp.float64
+
+    cells_s, rhs_cells_s = _build_plan(cc)
+    cells_s = {k: tuple(v) for k, v in cells_s.items()}
+    rhs_cells_s = {k: tuple(v) for k, v in rhs_cells_s.items()}
+    use_kernel = os.environ.get("TOYSPICE_DC_SWEEP", "kernel") != "scan"
 
     def dc_fused(params, state0, points):
         b = _infer_batch(params, state0)
@@ -610,6 +896,13 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
         zrow = jnp.zeros((1, bp), dtype=f64)
         x_zero = jnp.zeros((2, n, 8, bp // 8), dtype=jnp.float32)
         jv_zero = jnp.zeros((2, kj, 8, bp // 8), dtype=jnp.float32)
+
+        if use_kernel:
+            return _dc_sweep_call(
+                cc, counts, layout, cells_s, rhs_cells_s, cfgk, opts.gmin,
+                mode, src_slots, params, points, const_hi, const_lo,
+                pv, t0, isrc64 if ni_ else None, lrhs64 if nl_ else None,
+                b, bp, blk, n, kj)
 
         def step(jv_st, vals):
             pv2 = dict(pv)

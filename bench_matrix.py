@@ -56,6 +56,61 @@ def _load(deck):
         return compile_circuit(parse(f.read()))
 
 
+MIN_WALL = float(os.environ.get("BENCH_MATRIX_MIN_WALL", "0.5"))
+REPEATS = int(os.environ.get("BENCH_MATRIX_REPEATS", "3"))
+
+
+def _timed(invoke, min_wall=None, repeats=None, max_reps=64):
+    """Trustworthy-row timing protocol (round-4 VERDICT weak #2): the
+    tunneled TPU shows a >100x run-to-run spread on sub-0.5 s timed regions
+    (PARITY.md variance caveat) while regions >= 0.5 s reproduce within
+    ~20%.  So: scale the invocation count until every timed region clears
+    ``min_wall``, run ``repeats`` independent regions, and report all of
+    them — the caller publishes the median with min/max spread IN the row.
+
+    ``invoke()`` enqueues ONE invocation and returns its (k,) device-side
+    reduction; each timed region enqueues ``reps`` back-to-back and fetches
+    once (the dev-tunnel scalar round trip costs ~23 ms)."""
+    min_wall = MIN_WALL if min_wall is None else min_wall
+    repeats = REPEATS if repeats is None else repeats
+    t0 = time.perf_counter()
+    _ = np.asarray(invoke())
+    single = time.perf_counter() - t0
+    reps = int(np.clip(round(min_wall * 1.4 / max(single, 0.01)), 1,
+                       max_reps))
+    while True:
+        walls, tot = [], None
+        for _r in range(repeats):
+            t0 = time.perf_counter()
+            acc = [invoke() for _ in range(reps)]
+            st = np.asarray(jnp.stack(acc))
+            walls.append(time.perf_counter() - t0)
+            if tot is None:
+                tot = st
+        if min(walls) >= min_wall * 0.6 or reps >= max_reps:
+            return reps, walls, tot
+        # a region came in short (the single-shot estimate hit a stall):
+        # rescale and restart the repeat collection
+        reps = int(np.clip(round(reps * min_wall * 1.4 / max(min(walls),
+                                                             1e-3)),
+                           reps + 1, max_reps))
+
+
+def _spread(row, count_per_region, walls, unit_key):
+    """Publish median throughput + min/max spread from the per-region
+    walls; the artifact row carries its own uncertainty (round-4 VERDICT
+    weak #2: the >100x variance finding lived only in PARITY.md prose)."""
+    thr = sorted(count_per_region / w for w in walls)
+    med = float(np.median(thr))
+    row[unit_key] = med
+    row["wall_s"] = float(np.median(walls))
+    row["repeats"] = len(walls)
+    row[unit_key + "_min"] = thr[0]
+    row[unit_key + "_max"] = thr[-1]
+    row["spread_pct"] = ((thr[-1] - thr[0]) / med * 100.0) if med else 0.0
+    return row
+
+
 def _perturbed(cc, batch, spread=0.05, seed=0):
     """Log-normal R/C/L spread: per-instance dt trajectories genuinely
     diverge, so this is not a lockstep-identical rerun."""
@@ -103,23 +158,32 @@ def bench_tran_streamed(deck="rlc.cir", batch=BATCH, chunk_store=4096):
                                            chunk_store, fns=fns):
             r = np.asarray(red(out))  # forces the chunk
             steps += int(r[0]); rows += int(r[1]); overflow += int(r[2])
-            fails = int(r[3]); iters += int(r[4]); atts += int(r[5])
+            # fail is chunk-local (failed lanes are parked, never re-flagged
+            # on re-entry), so accumulating never double-counts a lane;
+            # attempts is carried INTO re-entries (cumulative budget), so
+            # the last chunk's value is already the run total
+            fails += int(r[3]); iters += int(r[4]); atts = int(r[5])
             chksum += float(r[6])
             chunks += 1
         return steps, rows, chunks, overflow, fails, iters, atts, chksum
 
     drain()  # compile + warm (fresh, cont and the chunk reductions)
-    t0 = time.perf_counter()
-    steps, rows, chunks, overflow, fails, iters, atts, _ = drain()
-    wall = time.perf_counter() - t0
-    return _util({
+    walls, res = [], None
+    for _r in range(REPEATS):
+        t0 = time.perf_counter()
+        out = drain()
+        walls.append(time.perf_counter() - t0)
+        if res is None:
+            res = out
+    steps, rows, chunks, overflow, fails, iters, atts, _ = res
+    row = _spread({
         "analysis": "tran", "deck": deck, "store": "full-streamed",
         "batch": batch, "chunk_store": chunk_store, "chunks": chunks,
         "engine": "fused-stream",
-        "agg_steps_per_s": steps / wall, "wall_s": wall,
         "total_accepted_steps": steps, "stored_rows": rows,
         "failed_instances": fails, "store_overflow_instances": overflow,
-    }, iters, atts, batch, wall)
+    }, steps, walls, "agg_steps_per_s")
+    return _util(row, iters, atts, batch, row["wall_s"])
 
 
 def _util(row, nr_iters, attempts, batch, wall):
@@ -174,27 +238,20 @@ def bench_tran(deck, store="none", batch=BATCH, max_store=None):
          if o.store_overflow is not None else jnp.float64(0.0)]))
     out = fn(params, state0)  # compile + warm
     _ = np.asarray(red(out))
-    t0 = time.perf_counter()
-    _ = np.asarray(red(fn(params, state0)))
-    single = time.perf_counter() - t0
-    reps = int(max(1, min(32, round(0.6 / max(single, 0.02)))))
-    t0 = time.perf_counter()
-    acc = [red(fn(params, state0)) for _ in range(reps)]
-    tot = np.asarray(jnp.stack(acc))  # ONE fetch for the whole timed region
-    wall = time.perf_counter() - t0
+    reps, walls, tot = _timed(lambda: red(fn(params, state0)))
     steps = int(tot[:, 0].sum())
     fails = int(tot[-1, 1])
     row = {
         "analysis": "tran", "deck": deck, "store": store, "batch": batch,
         "engine": getattr(fn, "engine", "?"),
-        "agg_steps_per_s": steps / wall, "wall_s": wall,
         "invocations": reps,
         "total_accepted_steps": steps, "failed_instances": fails,
     }
     if store == "full":
         row["store_overflow_instances"] = int(tot[-1, 5])
+    row = _spread(row, steps, walls, "agg_steps_per_s")
     return _util(row, int(tot[:, 2].sum()), int(tot[:, 3].sum()), batch,
-                 wall)
+                 row["wall_s"])
 
 
 def bench_ac(deck="bjt3.cir", batch=BATCH):
@@ -207,31 +264,25 @@ def bench_ac(deck="bjt3.cir", batch=BATCH):
                                          ap.points))
     params, axes = _perturbed(cc, batch)
     state0 = init_state(cc)
-    fn = jax.jit(make_ac_batch(cc, axes))  # built ONCE: no per-call retrace
+    fn = jax.jit(make_ac_batch(cc, axes, params=params))  # built ONCE
     red = jax.jit(lambda a, c, o: jnp.stack(
         [jnp.sum(a) + jnp.sum(c), jnp.sum(o.converged).astype(jnp.float64)]))
     xr, xi, opr = fn(params, state0, freqs)  # compile + warm
     _ = np.asarray(red(xr, xi, opr))
-    t0 = time.perf_counter()
-    xr, xi, opr = fn(params, state0, freqs)
-    _ = np.asarray(red(xr, xi, opr))
-    single = time.perf_counter() - t0
-    reps = int(max(1, min(32, round(0.6 / max(single, 0.02)))))
-    t0 = time.perf_counter()
-    acc = []
-    for _i in range(reps):
+
+    def invoke():
         xr, xi, opr = fn(params, state0, freqs)
-        acc.append(red(xr, xi, opr))
-    tot = np.asarray(jnp.stack(acc))  # one fetch (23 ms tunnel round trip)
-    wall = time.perf_counter() - t0
+        return red(xr, xi, opr)
+
+    reps, walls, tot = _timed(invoke)
     nf = int(freqs.shape[0])
-    return {
+    row = {
         "analysis": "ac", "deck": deck, "batch": batch, "freq_points": nf,
-        "bias_engine": select_op_engine(cc)[0],
-        "agg_solves_per_s": batch * nf * reps / wall, "wall_s": wall,
+        "bias_engine": select_op_engine(cc, params=params)[0],
         "invocations": reps,
         "unconverged_bias": int(batch - tot[-1, 1]),
     }
+    return _spread(row, batch * nf * reps, walls, "agg_solves_per_s")
 
 
 def bench_dc(deck="diode3.cir", batch=BATCH):
@@ -244,7 +295,7 @@ def bench_dc(deck="diode3.cir", batch=BATCH):
     slots = (cc.names["V"].index(dp.source1),)
     params, axes = _perturbed(cc, batch)
     state0 = init_state(cc)
-    engine, _reason = select_op_engine(cc)
+    engine, _reason = select_op_engine(cc, params=params)
     if engine == "fused":
         from toyspice_tpu.ops.pallas_op import make_dc_fused
 
@@ -260,26 +311,20 @@ def bench_dc(deck="diode3.cir", batch=BATCH):
         [jnp.sum(a), jnp.sum(c).astype(jnp.float64)]))
     xs, conv = fn(params)  # compile + warm
     _ = np.asarray(red(xs, conv))
-    t0 = time.perf_counter()
-    xs, conv = fn(params)
-    _ = np.asarray(red(xs, conv))
-    single = time.perf_counter() - t0
-    reps = int(max(1, min(32, round(0.6 / max(single, 0.02)))))
-    t0 = time.perf_counter()
-    acc = []
-    for _i in range(reps):
+
+    def invoke():
         xs, conv = fn(params)
-        acc.append(red(xs, conv))
-    tot = np.asarray(jnp.stack(acc))  # one fetch (23 ms tunnel round trip)
-    wall = time.perf_counter() - t0
+        return red(xs, conv)
+
+    reps, walls, tot = _timed(invoke)
     npts = int(pts.shape[0])
-    return {
+    row = {
         "analysis": "dc", "deck": deck, "batch": batch, "sweep_points": npts,
         "engine": engine,
-        "agg_points_per_s": batch * npts * reps / wall, "wall_s": wall,
         "invocations": reps,
         "unconverged_points": int(batch * npts - tot[-1, 1]),
     }
+    return _spread(row, batch * npts * reps, walls, "agg_points_per_s")
 
 
 def main():
@@ -327,9 +372,12 @@ def main():
         "batch": BATCH,
         "rt_floor_ms": rt_floor_ms,
         "timing_protocol": (
-            "per row: K back-to-back invocations enqueued, one stacked "
-            "device-side reduction fetched once (steady-state throughput; "
-            "the dev-tunnel scalar round trip alone costs rt_floor_ms)"),
+            f"per row: invocations scaled until every timed region >= "
+            f"{MIN_WALL} s wall, {REPEATS} independent regions of K "
+            "back-to-back invocations each (one stacked device-side "
+            "reduction fetched per region); rows carry the median with "
+            "min/max spread (spread_pct).  The dev-tunnel scalar round "
+            "trip alone costs rt_floor_ms"),
         "results": rows,
     }
     with open(OUT, "w") as f:

@@ -155,3 +155,24 @@ def test_dc_fused_diode():
     np.testing.assert_array_equal(np.asarray(conv_f), np.asarray(conv_g))
     np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_g),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_select_op_engine_sees_param_overrides():
+    """The PRODUCTION dispatch (select_op_engine), not just the raw gate,
+    must reject a physics-mode batched Rs override that enables series
+    resistance the deck's model leaves off — otherwise the fused kernel's
+    static d_rs_on gate silently skips the Rs inner Newton (round-4
+    ADVICE.md medium finding)."""
+    from toyspice_tpu.engine.batch import select_op_engine
+
+    cc = compile_circuit(parse(D_DIV))
+    params, _ = batch_params(cc, {"D": {"rs": np.full((2, 1), 0.5)}})
+    engine, reason = select_op_engine(cc, "physics", DEFAULTS, params=params)
+    assert engine == "general"
+    assert "Rs" in reason
+    # without the override the gate itself passes (the backend check may
+    # still route to general on the CPU test platform, but not because of
+    # the Rs gate)
+    base, _ = batch_params(cc, {})
+    _, reason2 = select_op_engine(cc, "physics", DEFAULTS, params=base)
+    assert "Rs" not in reason2

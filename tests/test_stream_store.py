@@ -92,3 +92,30 @@ def test_stream_requires_store_full():
     cc, cfg, state0, params, axes = _setup()
     with pytest.raises(ValueError, match="store='full'"):
         make_tran_fused(cc, cfg, DEFAULTS, store="none", stream=True)
+
+
+@pytest.mark.slow
+def test_streamed_max_attempts_binds_per_run():
+    """cfg.max_attempts is a CUMULATIVE per-run budget: the attempt counter
+    is carried into each streamed re-entry, so a streamed run can never
+    spend more attempts than the monolithic run with the same cfg (round-4
+    ADVICE.md finding: it previously reset per chunk)."""
+    from toyspice_tpu.engine.batch import run_transient_batch
+
+    cc, cfg, state0, params, axes = _setup()
+    cfg = cfg._replace(max_attempts=30)  # binds mid-run (rc accepts ~60)
+    with pltpu.force_tpu_interpret_mode():
+        mono = run_transient_batch(cc, cfg, params, axes, state0,
+                                   store="full", jit=False)
+        so = run_transient_streamed(cc, cfg, params, state0, chunk_store=8)
+    assert np.all(np.asarray(so.attempts) <= cfg.max_attempts)
+    np.testing.assert_array_equal(np.asarray(so.attempts),
+                                  np.asarray(mono.attempts))
+    np.testing.assert_array_equal(np.asarray(so.accepted),
+                                  np.asarray(mono.accepted))
+    np.testing.assert_array_equal(so.out_n, np.asarray(mono.out_n))
+    for lane in range(B):
+        n = int(so.out_n[lane])
+        np.testing.assert_allclose(so.out_t[lane, :n],
+                                   np.asarray(mono.out_t)[lane, :n],
+                                   rtol=0, atol=0)

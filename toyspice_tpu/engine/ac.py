@@ -54,7 +54,7 @@ def make_ac(cc, opts: SimOptions = DEFAULTS, semantics: str = "compat"):
 
 
 def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
-                  semantics: str = "compat"):
+                  semantics: str = "compat", params=None):
     """Monte-Carlo-batched AC with the solver batch laid out correctly.
 
     ``vmap(ac_execute)`` over instances is catastrophically slow on TPU: the
@@ -75,7 +75,10 @@ def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
 
     Returns fn(params, state0, freqs) -> (xr, xi, opr) with xr/xi of shape
     (B, F, np1); ``in_axes`` marks the batched param leaves (0) as in
-    batch_params."""
+    batch_params.  ``params`` (the concrete override pytree, pre-jit) lets
+    the fused-bias gate see batched overrides that flip the kernel's static
+    device gates (e.g. a physics diode Rs override — see
+    op_fused_ineligible_reason)."""
     import os
 
     from ..ops.pallas_op import make_op_fused, op_fused_ineligible_reason
@@ -83,7 +86,8 @@ def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
 
     np1 = cc.np1
     mode = os.environ.get("TOYSPICE_OP", "auto")
-    fused_bias = (op_fused_ineligible_reason(cc, semantics, opts) is None
+    fused_bias = (op_fused_ineligible_reason(cc, semantics, opts,
+                                             params) is None
                   and mode != "general"
                   and (mode == "fused" or _solver_backend() == "pallas"))
     if fused_bias:

@@ -191,27 +191,34 @@ def stream_transient_chunks(cc, cfg: TranConfig, params, state0,
     monolithic run's trajectory step for step (A/B:
     tests/test_stream_store.py).
 
-    Caveat: ``cfg.max_attempts`` bounds attempts per CHUNK, not per run.
+    ``cfg.max_attempts`` binds the CUMULATIVE per-lane budget across
+    re-entries (the attempt counter is carried into each continuation), so
+    each chunk's ``attempts`` counter is cumulative; a lane that exhausts
+    the budget mid-run is parked like a hard-failed lane (its fail flag
+    stays False, matching the monolithic run, which also just stops).
     Hard-failed lanes are excluded from re-entry (their fail flag is
     reported in the chunk where they failed)."""
     fresh, cont = fns if fns is not None else make_tran_stream(
         cc, cfg, chunk_store, semantics, opts, params)
     # continuation decision as ONE device-side scalar: separate t_final /
     # fail array fetches cost a 23 ms tunnel round trip each per chunk
-    dec = jax.jit(lambda fa, f, t: (
-        fa | f, jnp.any((~(fa | f)) & (t < cfg.tstop))))
+    dec = jax.jit(lambda fa, f, t, att: (
+        fa | f | (att >= cfg.max_attempts),
+        jnp.any((~(fa | f | (att >= cfg.max_attempts))) & (t < cfg.tstop))))
     out = fresh(params, state0)
     yield out
-    fail_any = out.fail
+    parked = out.fail
     while True:
-        fail_any, more = dec(fail_any, out.fail, out.t_final)
+        parked, more = dec(parked, out.fail, out.t_final, out.attempts)
         if not bool(more):
             return
-        # park finished/failed lanes at tstop: they start done and are
-        # frozen by the in-loop masks (their state/jv rows are untouched)
-        t_next = jnp.where((~fail_any) & (out.t_final < cfg.tstop),
+        # park finished/failed/budget-exhausted lanes at tstop: they start
+        # done and are frozen by the in-loop masks (their state/jv rows are
+        # untouched)
+        t_next = jnp.where((~parked) & (out.t_final < cfg.tstop),
                            out.t_final, cfg.tstop)
-        out = cont(params, out.state, t_next, out.jv, out.dt_final)
+        out = cont(params, out.state, t_next, out.jv, out.dt_final,
+                   out.attempts)
         yield out
 
 
@@ -223,14 +230,16 @@ def run_transient_streamed(cc, cfg: TranConfig, params, state0,
     Drains ``stream_transient_chunks`` into host numpy arrays and stitches
     the per-lane ragged chunk rows into one (B, N, np1) waveform buffer
     (N = max accepted rows over lanes) — the same layout the monolithic
-    store='full' path emits.  Counters (accepted/attempts/nr_iters)
-    accumulate across chunks; fail latches."""
+    store='full' path emits.  Counters: accepted/nr_iters accumulate across
+    chunks; attempts is carried INTO each re-entry (cfg.max_attempts binds
+    the whole run), so the final chunk's counter is already cumulative;
+    fail latches."""
     import numpy as np
 
     from .tran import TranOutput
 
     xs, ts, ns = [], [], []
-    accepted = attempts = nr_iters = 0
+    accepted = nr_iters = 0
     fail = overflow = None
     last = None
     for out in stream_transient_chunks(cc, cfg, params, state0, chunk_store,
@@ -239,7 +248,6 @@ def run_transient_streamed(cc, cfg: TranConfig, params, state0,
         ts.append(np.asarray(out.out_t))
         ns.append(np.asarray(out.out_n))
         accepted = accepted + np.asarray(out.accepted)
-        attempts = attempts + np.asarray(out.attempts)
         nr_iters = nr_iters + np.asarray(out.nr_iters)
         f = np.asarray(out.fail)
         o = np.asarray(out.store_overflow)
@@ -261,26 +269,31 @@ def run_transient_streamed(cc, cfg: TranConfig, params, state0,
             off += k
     return TranOutput(
         out_x=out_x, out_t=out_t, out_n=total, fail=fail,
-        accepted=accepted, attempts=attempts, nr_iters=nr_iters,
+        accepted=accepted, attempts=np.asarray(last.attempts),
+        nr_iters=nr_iters,
         t_final=np.asarray(last.t_final), state=last.state, jv=last.jv,
         store_overflow=overflow, dt_final=np.asarray(last.dt_final))
 
 
 def select_op_engine(cc, semantics: str = "compat",
-                     opts: SimOptions = DEFAULTS):
+                     opts: SimOptions = DEFAULTS, params=None):
     """Decide fused-kernel vs general engine for a batched OP/DC-sweep.
 
     Returns (engine_name, reason) with engine_name in {"fused", "general"}.
     The fused OP/Newton kernel (ops/pallas_op.py) serves nonlinear compat
     circuits on the Pallas solver backend; TOYSPICE_OP=general|fused|auto
-    overrides (same contract as TOYSPICE_TRAN)."""
+    overrides (same contract as TOYSPICE_TRAN).  ``params`` (the CONCRETE
+    override pytree, pre-jit) lets the static-gate checks see batched
+    overrides — e.g. a physics-mode diode Rs override enabling series
+    resistance the deck's model leaves off must fall back to the general
+    engine (the kernel's Rs gate is static per-deck)."""
     import os
 
     from ..ops.pallas_op import op_fused_ineligible_reason
     from ..ops.solve import _solver_backend
 
     mode = os.environ.get("TOYSPICE_OP", "auto")
-    why_not = op_fused_ineligible_reason(cc, semantics, opts)
+    why_not = op_fused_ineligible_reason(cc, semantics, opts, params)
     if mode == "general":
         return "general", "TOYSPICE_OP=general override"
     if why_not is not None:
@@ -299,7 +312,7 @@ def run_op_batch(cc, params, in_axes, jit: bool = True,
     (x: (B, np1), converged: (B,), stage: (B,)) — through the fused
     OP/Newton kernel when eligible (one kernel dispatch for the whole batch
     in the no-rescue case), else vmapped over the general engine."""
-    engine, reason = select_op_engine(cc, semantics, opts)
+    engine, reason = select_op_engine(cc, semantics, opts, params=params)
     _log.info("op engine: %s (%s)", engine, reason)
     state0 = init_state(cc)
     if engine == "fused":
@@ -324,7 +337,7 @@ def run_ac_batch(cc, params, in_axes, freqs, jit: bool = True,
     Pallas solve and is ~1000x slower on TPU (see make_ac_batch)."""
     from .ac import make_ac_batch
 
-    fn = make_ac_batch(cc, in_axes, opts, semantics=semantics)
+    fn = make_ac_batch(cc, in_axes, opts, semantics=semantics, params=params)
     state0 = init_state(cc)
     if jit:
         fn = jax.jit(fn)
@@ -338,7 +351,7 @@ def run_dc_batch(cc, src_slots, params, in_axes, points, jit: bool = True,
     kernel — one kernel dispatch per sweep point for the whole batch,
     junction voltages warm-started point to point (dc.go:142-187) — else
     the general engine under vmap."""
-    engine, reason = select_op_engine(cc, semantics, opts)
+    engine, reason = select_op_engine(cc, semantics, opts, params=params)
     _log.info("dc engine: %s (%s)", engine, reason)
     state0 = init_state(cc)
     if engine == "fused":

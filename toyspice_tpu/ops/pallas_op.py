@@ -846,7 +846,14 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
     (``_dc_sweep_core``: a fori_loop over points around the in-kernel
     Newton, jv carried in VMEM); TOYSPICE_DC_SWEEP=scan falls back to a
     ``lax.scan`` of per-point kernel dispatches (the round-4 attribution
-    measured ~1 ms/point of launch+glue on the scan path)."""
+    measured ~1 ms/point of launch+glue on the scan path).
+
+    The whole-sweep kernel's per-point vsrc read is a static select chain
+    over all P points and its output write a (P, n+2, lanes) broadcast
+    mask, so Mosaic compile time and scoped VMEM grow ~O(P^2)/O(P): sweeps
+    longer than TOYSPICE_DC_SWEEP_KERNEL_MAX_PTS (default 128) fall back
+    to the scan path automatically instead of blowing the 16M scoped-VMEM
+    limit."""
     from ..models.sources import eval_sources, eval_sources_lanes
 
     why = op_fused_ineligible_reason(cc, semantics, opts)
@@ -897,7 +904,9 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
         x_zero = jnp.zeros((2, n, 8, bp // 8), dtype=jnp.float32)
         jv_zero = jnp.zeros((2, kj, 8, bp // 8), dtype=jnp.float32)
 
-        if use_kernel:
+        max_pts = int(os.environ.get("TOYSPICE_DC_SWEEP_KERNEL_MAX_PTS",
+                                     "128"))
+        if use_kernel and int(points.shape[0]) <= max_pts:
             return _dc_sweep_call(
                 cc, counts, layout, cells_s, rhs_cells_s, cfgk, opts.gmin,
                 mode, src_slots, params, points, const_hi, const_lo,

@@ -1751,7 +1751,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     jv0) continues a checkpointed run — the OP re-bias is skipped, the
     clock starts at t0 (scalar shared or (B,) per-lane, so time-varying
     sources keep their phase) and the carried device linearization comes
-    from the checkpoint jv0; cfg.tstart/tstop stay absolute.
+    from the checkpoint jv0; cfg.tstart/tstop stay absolute.  ``attempts0``
+    (per-lane int) seeds the attempt counter, so cfg.max_attempts binds the
+    CUMULATIVE budget across streamed re-entries instead of per chunk; the
+    returned ``attempts`` is then cumulative too.
 
     store='full' keeps the kernel untouched and stores waveforms from the
     XLA control loop: every attempt's solution is written at the UNIFORM
@@ -1836,7 +1839,8 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
     temp = opts.temp
     trtol = opts.trtol
 
-    def tran_fused(params, state0, t0=None, jv0=None, dt0=None):
+    def tran_fused(params, state0, t0=None, jv0=None, dt0=None,
+                   attempts0=None):
         if resume:
             assert t0 is not None, "resume=True requires the checkpoint time"
             assert jv0 is not None or not nonlin, (
@@ -2144,6 +2148,12 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             dt_init = (jnp.full(bp, dt0a, dtype=f64) if dt0a.ndim == 0
                        else jnp.pad(dt0a, (0, bp - dt0a.shape[0]),
                                     constant_values=cfg.minstep))
+        if attempts0 is None:
+            att_init = jnp.zeros(bp, dtype=jnp.int32)
+        else:
+            a0 = jnp.asarray(attempts0, dtype=jnp.int32)
+            att_init = (jnp.full(bp, a0, dtype=jnp.int32) if a0.ndim == 0
+                        else jnp.pad(a0, (0, bp - a0.shape[0])))
         carry0 = dict(
             t=t_init,
             dt=dt_init,
@@ -2152,7 +2162,7 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
             st_hi=fold(st_hi0), st_lo=fold(st_lo0),
             jv_hi=fold(jvh0), jv_lo=fold(jvl0),
             accepted=jnp.zeros(bp, dtype=jnp.int32),
-            attempts=jnp.zeros(bp, dtype=jnp.int32),
+            attempts=att_init,
             nr_iters=jnp.zeros(bp, dtype=jnp.int32),
         )
         if nlm_ and physics:

@@ -3,6 +3,7 @@ against f64, over the ranges the device models use."""
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from toyspice_tpu.ops.df_math import df_div, df_exp, df_log, df_pow, df_sqrt
@@ -108,3 +109,42 @@ def test_df_div_sweep():
     ref = a / b
     rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-30)
     assert np.max(rel) < 1e-13, float(np.max(rel))
+
+
+def test_df_sin_vs_f64():
+    from toyspice_tpu.ops.df_math import df_sin
+
+    rng = np.random.default_rng(11)
+    # SIN-source argument range: 2*pi*f*t + phase over deck time spans
+    x = np.concatenate([
+        rng.uniform(-10.0, 10.0, 300),
+        rng.uniform(-1e4, 1e4, 300),
+        np.asarray([0.0, np.pi / 2, np.pi, 1.5 * np.pi, 2 * np.pi,
+                    -np.pi / 2, 0.25, 1e-8, -1e-8]),
+    ])
+    hi = jnp.asarray(x, dtype=jnp.float32)
+    lo = jnp.asarray(x - np.asarray(hi, dtype=np.float64),
+                     dtype=jnp.float32)
+    sh, sl = jax.jit(df_sin)(hi, lo)
+    got = np.asarray(sh, dtype=np.float64) + np.asarray(sl, dtype=np.float64)
+    want = np.sin(x)
+    # absolute error ~|x| * 2^-48 (argument pair ulp)
+    tol = np.maximum(np.abs(x), 1.0) * 2.0 ** -46
+    assert np.all(np.abs(got - want) <= tol)
+
+
+def test_df_floor():
+    from toyspice_tpu.ops.df_math import df_floor
+
+    cases = np.asarray([0.0, 0.5, 1.0, -0.5, -1.0, 2.75, -2.75,
+                        12345.678, -12345.678, 1e6 + 0.25])
+    hi = jnp.asarray(cases, dtype=jnp.float32)
+    lo = jnp.asarray(cases - np.asarray(hi, dtype=np.float64),
+                     dtype=jnp.float32)
+    got = np.asarray(jax.jit(df_floor)(hi, lo), dtype=np.float64)
+    np.testing.assert_array_equal(got, np.floor(cases))
+    # the lo limb decides at exact-integer hi values
+    h2 = jnp.asarray([2.0, 2.0, -3.0], dtype=jnp.float32)
+    l2 = jnp.asarray([-1e-9, 1e-9, -1e-9], dtype=jnp.float32)
+    got2 = np.asarray(jax.jit(df_floor)(h2, l2), dtype=np.float64)
+    np.testing.assert_array_equal(got2, [1.0, 2.0, -4.0])

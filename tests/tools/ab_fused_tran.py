@@ -40,6 +40,7 @@ from toyspice_tpu.engine.batch import batch_params
 from toyspice_tpu.engine.options import DEFAULTS
 from toyspice_tpu.engine.state import init_state
 from toyspice_tpu.engine.tran import build_config, make_tran
+from toyspice_tpu.ops.pallas_run import make_tran_run, run_eligible
 from toyspice_tpu.ops.pallas_tran import fused_eligible, make_tran_fused
 
 REFERENCE_CIRCUITS = "/root/reference/circuits"
@@ -78,45 +79,68 @@ def run_deck(name):
                            in_axes=(axes, None)))
     og = jax.block_until_ready(gen(params, state0))
 
+    def check(of, label, df_t, df_src):
+        """Assert one engine's output against the general engine.  df_t:
+        the engine carries t/dt in df (whole-run kernel) — t_final is then
+        allclose, not bitwise.  df_src: sources evaluated in df in-kernel
+        — committed state gets the df waveform bound instead of the pure
+        solver-noise bound."""
+        np.testing.assert_array_equal(np.asarray(of.accepted),
+                                      np.asarray(og.accepted),
+                                      err_msg=label)
+        np.testing.assert_array_equal(np.asarray(of.attempts),
+                                      np.asarray(og.attempts),
+                                      err_msg=label)
+        np.testing.assert_array_equal(np.asarray(of.fail),
+                                      np.asarray(og.fail), err_msg=label)
+        if df_t:
+            np.testing.assert_allclose(np.asarray(of.t_final),
+                                       np.asarray(og.t_final), rtol=1e-11,
+                                       atol=0, err_msg=label)
+        else:
+            np.testing.assert_allclose(np.asarray(of.t_final),
+                                       np.asarray(og.t_final), rtol=0,
+                                       atol=0, err_msg=label)
+        # Diode-only: analytic conductances -> df-identical iterates.  Any
+        # BJT or MOSFET: numeric-diff Jacobians (and df sqrt/pow in the MOS
+        # L1 path) amplify df noise, Newton stops within its own reltol and
+        # perturbs every junction sharing the system — see
+        # tests/test_fused_tran.py for the full rationale.
+        loose = ("Q" in og.jv) or ("M" in og.jv)
+        rtol, atol = (1e-6, 1e-8) if loose else (1e-9, 1e-11)
+        for kind in og.jv:
+            for key in og.jv[kind]:
+                jg = np.asarray(og.jv[kind][key])
+                jf = np.asarray(of.jv[kind][key])
+                np.testing.assert_allclose(
+                    jf, jg, rtol=rtol, atol=atol,
+                    err_msg=f"{label} jv.{kind}.{key}")
+        worst = 0.0
+        sbound = 1e-8 if df_src else 5e-11
+        for kind in og.state:
+            for key in og.state[kind]:
+                a = np.asarray(og.state[kind][key])
+                fv = np.asarray(of.state[kind][key])
+                scale = max(1e-30, float(np.max(np.abs(a))))
+                rel = float(np.max(np.abs(fv - a))) / scale
+                worst = max(worst, rel)
+                # df64 noise class over ~20k-step trajectories (PARITY.md
+                # records <=1.6e-11 for the same class on the solver A/B)
+                assert rel < sbound, f"{label} {kind}.{key}: rel {rel:.2e}"
+        return worst
+
     of = jax.block_until_ready(jax.jit(make_tran_fused(cc, cfg, DEFAULTS))(
         params, state0))
-
-    np.testing.assert_array_equal(np.asarray(of.accepted),
-                                  np.asarray(og.accepted), err_msg=name)
-    np.testing.assert_array_equal(np.asarray(of.attempts),
-                                  np.asarray(og.attempts), err_msg=name)
-    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail),
-                                  err_msg=name)
-    np.testing.assert_allclose(np.asarray(of.t_final),
-                               np.asarray(og.t_final), rtol=0, atol=0,
-                               err_msg=name)
-    # Diode-only: analytic conductances -> df-identical iterates.  Any BJT
-    # or MOSFET: numeric-diff Jacobians (and df sqrt/pow in the MOS L1
-    # path) amplify df noise, Newton stops within its own reltol and
-    # perturbs every junction sharing the system — see
-    # tests/test_fused_tran.py for the full rationale.
-    loose = ("Q" in og.jv) or ("M" in og.jv)
-    rtol, atol = (1e-6, 1e-8) if loose else (1e-9, 1e-11)
-    for kind in og.jv:
-        for key in og.jv[kind]:
-            jg = np.asarray(og.jv[kind][key])
-            jf = np.asarray(of.jv[kind][key])
-            np.testing.assert_allclose(jf, jg, rtol=rtol, atol=atol,
-                                       err_msg=f"{name} jv.{kind}.{key}")
-    worst = 0.0
-    for kind in og.state:
-        for key in og.state[kind]:
-            a = np.asarray(og.state[kind][key])
-            fv = np.asarray(of.state[kind][key])
-            scale = max(1e-30, float(np.max(np.abs(a))))
-            rel = float(np.max(np.abs(fv - a))) / scale
-            worst = max(worst, rel)
-            # df64 noise class over ~20k-step trajectories (PARITY.md
-            # records <=1.6e-11 for the same class on the solver A/B)
-            assert rel < 5e-11, f"{name} {kind}.{key}: rel {rel:.2e}"
+    worst = check(of, name + " [fused]", df_t=False, df_src=False)
+    run_msg = "run-ineligible"
+    if run_eligible(cc, "compat", "none", DEFAULTS):
+        orun = jax.block_until_ready(jax.jit(make_tran_run(
+            cc, cfg, DEFAULTS))(params, state0))
+        worst_r = check(orun, name + " [run]", df_t=True, df_src=True)
+        run_msg = f"run kernel OK (state rel {worst_r:.2e})"
     acc = np.asarray(og.accepted)
     return (f"{name}: OK  accepted {int(acc.min())}..{int(acc.max())}, "
-            f"state max rel diff {worst:.2e}")
+            f"state max rel diff {worst:.2e}; {run_msg}")
 
 
 # Rs/Bv zener-style diode deck: the ±10 V swing drives the physics diode
@@ -195,75 +219,96 @@ def run_physics_deck(name, integration):
         make_tran(cc, cfg, semantics="physics", store="none", opts=opts),
         in_axes=(axes, None)))
     og = jax.block_until_ready(gen(params, state0))
+    nonlin_deck = any(k in cc.idx for k in ("D", "Q", "M"))
+    acc_g = np.asarray(og.accepted)
+
+    def check_phys(of, label, df_src):
+        """Assert one physics engine output vs the general engine; df_src
+        marks the whole-run kernel (in-kernel df source evaluation adds a
+        ~1e-14-rel waveform wobble, nonlinear-amplified like the solver
+        noise)."""
+        acc_f = np.asarray(of.accepted)
+        # identical trajectory = same accepted AND attempt counts (equal
+        # accepts with extra reject pairs walks a different dt path and
+        # legitimately commits different final values)
+        exact = (acc_f == acc_g) & (np.asarray(of.attempts)
+                                    == np.asarray(og.attempts))
+        if integration == "trap" and nonlin_deck:
+            # The trapezoidal charge-memory recursion (ic' = 2dq/dt - ic)
+            # is MARGINALLY STABLE: df-vs-f64 rounding differences persist
+            # in the carried companion current instead of decaying, so a
+            # few lanes eventually flip a knife-edge NR-convergence verdict
+            # and accept one or two extra/fewer steps (measured:
+            # diode4/trap 3/64 lanes, |delta| <= 3).  BE and all
+            # linear/magnetic decks stay EXACT.
+            n_off = int(np.sum(~exact))
+            assert n_off <= max(2, B // 10), \
+                f"{label}: {n_off}/{B} lanes off in accepted counts"
+            assert int(np.max(np.abs(acc_f - acc_g))) <= 5, \
+                f"{label}: accepted delta {np.max(np.abs(acc_f - acc_g))}"
+        else:
+            np.testing.assert_array_equal(acc_f, acc_g, err_msg=label)
+            np.testing.assert_array_equal(np.asarray(of.attempts),
+                                          np.asarray(og.attempts),
+                                          err_msg=label)
+        np.testing.assert_array_equal(np.asarray(of.fail),
+                                      np.asarray(og.fail), err_msg=label)
+        # state compared on lanes with identical trajectories (different
+        # accepted counts mean different final committed quantities by
+        # construction, not by error)
+        ok = (~np.asarray(og.fail)) & exact
+        assert np.any(ok), (f"{label}: every lane hard-failed on BOTH "
+                            "engines — use run_physics_fail_parity")
+        worst = 0.0
+        for kind in og.state:
+            for key in og.state[kind]:
+                a = np.asarray(og.state[kind][key])[ok]
+                fv = np.asarray(of.state[kind][key])[ok]
+                scale = max(1e-30, float(np.max(np.abs(a))))
+                rel = float(np.max(np.abs(fv - a))) / scale
+                worst = max(worst, rel)
+                # Committed DIFFERENCE quantities amplify df solver noise:
+                # the ~3e-15 rel noise on v divides by the tiny per-step
+                # delta.  C.i0 = C·(v-v0)/dt (the trap recursion
+                # i' = 2dv·C/dt - i carries it without decay) and the
+                # winding voltages L.v0/v1 (per-step v snapshots whose
+                # magnitude is ~dt·di/dt, ~1e-4 of the node-voltage scale
+                # on rlc) sit in the ~1e-9..1e-8 class (measured 1.0e-9 BE
+                # / 4.1e-9 trap on TPU, 2026-08-21).  Everything else holds
+                # the usual df bound.
+                # D/M committed rows are nonlinear-amplified: prev_id rides
+                # the junction exponential (d(id)/id = dvd/nVt ~ 40/V of
+                # voltage noise) and the ic* rows are difference quantities
+                # (charge deltas / dt) on top of that — both sit orders
+                # above the raw df solver noise while the waveforms
+                # themselves stay in the 1e-11 class.
+                if kind in ("D", "M"):
+                    bound = 1e-4 if df_src else 1e-5
+                else:
+                    bound = (1e-6 if (kind, key) in
+                             (("C", "i0"), ("L", "v0"), ("L", "v1"))
+                             else (1e-8 if df_src else 5e-11))
+                assert rel < bound, f"{label} {kind}.{key}: rel {rel:.2e}"
+        return worst, int(np.sum(~exact))
+
     of = jax.block_until_ready(jax.jit(
         make_tran_fused(cc, cfg, opts, semantics="physics"))(params, state0))
-
-    nonlin_deck = any(k in cc.idx for k in ("D", "Q", "M"))
-    acc_f = np.asarray(of.accepted)
-    acc_g = np.asarray(og.accepted)
-    # identical trajectory = same accepted AND attempt counts (equal accepts
-    # with extra reject pairs walks a different dt path and legitimately
-    # commits different final values)
-    exact = (acc_f == acc_g) & (np.asarray(of.attempts)
-                                == np.asarray(og.attempts))
-    if integration == "trap" and nonlin_deck:
-        # The trapezoidal charge-memory recursion (ic' = 2dq/dt - ic) is
-        # MARGINALLY STABLE: df-vs-f64 rounding differences persist in the
-        # carried companion current instead of decaying, so a few lanes
-        # eventually flip a knife-edge NR-convergence verdict and accept
-        # one or two extra/fewer steps (measured: diode4/trap 3/64 lanes,
-        # |delta| <= 3).  BE and all linear/magnetic decks stay EXACT.
-        n_off = int(np.sum(~exact))
-        assert n_off <= max(2, B // 10), \
-            f"{name}: {n_off}/{B} lanes off in accepted counts"
-        assert int(np.max(np.abs(acc_f - acc_g))) <= 5, \
-            f"{name}: accepted delta {np.max(np.abs(acc_f - acc_g))}"
-    else:
-        np.testing.assert_array_equal(acc_f, acc_g, err_msg=name)
-        np.testing.assert_array_equal(np.asarray(of.attempts),
-                                      np.asarray(og.attempts), err_msg=name)
-    np.testing.assert_array_equal(np.asarray(of.fail), np.asarray(og.fail),
-                                  err_msg=name)
-    # state compared on lanes with identical trajectories (different
-    # accepted counts mean different final committed quantities by
-    # construction, not by error)
-    ok = (~np.asarray(og.fail)) & exact
-    assert np.any(ok), (f"{name}: every lane hard-failed on BOTH engines — "
-                        "use run_physics_fail_parity for this deck")
-    worst = 0.0
-    for kind in og.state:
-        for key in og.state[kind]:
-            a = np.asarray(og.state[kind][key])[ok]
-            fv = np.asarray(of.state[kind][key])[ok]
-            scale = max(1e-30, float(np.max(np.abs(a))))
-            rel = float(np.max(np.abs(fv - a))) / scale
-            worst = max(worst, rel)
-            # Committed DIFFERENCE quantities amplify df solver noise: the
-            # ~3e-15 rel noise on v divides by the tiny per-step delta.
-            # C.i0 = C·(v-v0)/dt (the trap recursion i' = 2dv·C/dt - i
-            # carries it without decay) and the winding voltages L.v0/v1
-            # (per-step v snapshots whose magnitude is ~dt·di/dt, ~1e-4 of
-            # the node-voltage scale on rlc) sit in the ~1e-9..1e-8 class
-            # (measured 1.0e-9 BE / 4.1e-9 trap on TPU, 2026-08-21).
-            # Everything else holds the usual df bound.
-            # D/M committed rows are nonlinear-amplified: prev_id rides
-            # the junction exponential (d(id)/id = dvd/nVt ~ 40/V of
-            # voltage noise) and the ic* rows are difference quantities
-            # (charge deltas / dt) on top of that — both sit orders above
-            # the raw df solver noise while the waveforms themselves stay
-            # in the 1e-11 class.
-            if kind in ("D", "M"):
-                bound = 1e-5
-            else:
-                bound = (1e-7 if (kind, key) in
-                         (("C", "i0"), ("L", "v0"), ("L", "v1")) else 5e-11)
-            assert rel < bound, f"{name} {kind}.{key}: rel {rel:.2e}"
+    worst, n_off = check_phys(of, f"{name} physics/{integration} [fused]",
+                              df_src=False)
+    run_msg = "run-ineligible"
+    if run_eligible(cc, "physics", "none", opts):
+        orun = jax.block_until_ready(jax.jit(make_tran_run(
+            cc, cfg, opts, semantics="physics"))(params, state0))
+        worst_r, _ = check_phys(orun,
+                                f"{name} physics/{integration} [run]",
+                                df_src=True)
+        run_msg = f"run kernel OK (state rel {worst_r:.2e})"
     acc = acc_g
     return (f"{name} physics/{integration}: OK  accepted "
             f"{int(acc.min())}..{int(acc.max())}, "
-            f"{int(np.sum(~exact))} knife-edge lanes, "
+            f"{n_off} knife-edge lanes, "
             f"fails {int(np.sum(np.asarray(og.fail)))}, "
-            f"state max rel {worst:.2e}")
+            f"state max rel {worst:.2e}; {run_msg}")
 
 
 def run_physics_fail_parity(name, integration):

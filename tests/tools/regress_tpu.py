@@ -28,6 +28,9 @@ STAGES = [
     ("fused OP/DC A/B (nonlinear OP decks + DC sweep, general vs fused "
      "OP/Newton kernel)",
      [sys.executable, "tests/tools/ab_fused_op.py"]),
+    ("single-device shard_map smoke (fused kernels under Mesh((1,)) vs "
+     "unsharded, bitwise)",
+     [sys.executable, "tests/tools/ab_shard_smoke.py"]),
     ("headline benchmark (bench.py)",
      [sys.executable, "bench.py"]),
     ("per-class benchmark matrix (bench_matrix.py -> BENCH_MATRIX.json)",

@@ -153,3 +153,91 @@ def df_pow(xhi, xlo, yhi, ylo):
     exponents keep |y*log x| < ~100."""
     l_hi, l_lo = df_log(xhi, xlo)
     return df_exp(*_df_mul(yhi, ylo, l_hi, l_lo))
+
+
+def df_floor(xhi, xlo):
+    """floor of a df pair as an integer-valued f32 (exact for |result| <
+    2^24; callers keep arguments in that range — the whole-run transient
+    kernel uses it for PULSE period wrapping, where the wrap count is
+    t/period).  Returns a plain f32 array, not a pair."""
+    f = jnp.floor(xhi)
+    # hi - floor(hi) is exact for |hi| < 2^23 (both representable, result in
+    # [0, 1)); for larger |hi| the value is already integral and r == 0
+    r = xhi - f
+    fr_hi, fr_lo = _two_sum(r, xlo)
+    f = f + jnp.floor(fr_hi)  # fr_hi in (-1, 2): adjustment in {-1, 0, 1}
+    # fr_hi exactly integral but a negative lo limb pulls the true
+    # fractional part below it: floor is one less
+    exact_int = fr_hi == jnp.floor(fr_hi)
+    return jnp.where(exact_int & (fr_lo < 0), f - 1.0, f)
+
+
+# sin coefficients: sin(a) = a + a^3*P(a^2), cos(a) = 1 + a^2*Q(a^2) on
+# |a| <= pi/4; terms through a^17/17! keep the truncation below the ~48-bit
+# pair ulp (a^19/19! ~ 8e-20 at a = pi/4)
+_SIN_C = []
+for _k in range(1, 9):  # (-1)^k / (2k+1)!
+    _c = (-1.0) ** _k / _math.factorial(2 * _k + 1)
+    _hi = np.float32(_c)
+    _SIN_C.append((_hi, np.float32(np.float64(_c) - np.float64(_hi))))
+_COS_C = []
+for _k in range(1, 9):  # (-1)^k / (2k)!
+    _c = (-1.0) ** _k / _math.factorial(2 * _k)
+    _hi = np.float32(_c)
+    _COS_C.append((_hi, np.float32(np.float64(_c) - np.float64(_hi))))
+
+# pi/2 as a df constant for the quadrant reconstruction
+_PIO2_HI = np.float32(np.pi / 2)
+_PIO2_LO = np.float32(np.float64(np.pi / 2) - np.float64(_PIO2_HI))
+_TWO_OVER_PI_HI = np.float32(2.0 / np.pi)
+_TWO_OVER_PI_LO = np.float32(np.float64(2.0 / np.pi)
+                             - np.float64(_TWO_OVER_PI_HI))
+
+
+def _poly_df(c_list, w_hi, w_lo):
+    p_hi = jnp.full_like(w_hi, c_list[-1][0])
+    p_lo = jnp.full_like(w_hi, c_list[-1][1])
+    for c_hi, c_lo in reversed(c_list[:-1]):
+        p_hi, p_lo = _df_mul(p_hi, p_lo, w_hi, w_lo)
+        p_hi, p_lo = _df_add(p_hi, p_lo, jnp.full_like(w_hi, c_hi),
+                             jnp.full_like(w_hi, c_lo))
+    return p_hi, p_lo
+
+
+def df_sin(xhi, xlo):
+    """sin of a df pair, elementwise.
+
+    Quadrant reduction y = x * 2/pi, k = round(y), a = (y - k) * pi/2 in
+    df, then Taylor series for sin/cos on |a| <= pi/4 selected by k mod 4.
+    The absolute error is ~|x| * 2^-48 from the argument's own pair ulp
+    (inherent — the df argument only determines the angle to that
+    precision), so the result's ABSOLUTE error grows with |x|; the
+    whole-run transient kernel keeps |x| = |2*pi*f*t + phase| < ~1e6
+    (SIN-source arguments over a deck's time span), where that is ~4e-9
+    worst-case.  The wrap count k must stay exactly representable in f32
+    (|k| < 2^24)."""
+    f32 = jnp.float32
+    y_hi, y_lo = _df_mul(xhi, xlo, jnp.full_like(xhi, _TWO_OVER_PI_HI),
+                         jnp.full_like(xhi, _TWO_OVER_PI_LO))
+    k = jnp.round(y_hi)
+    # r = y - k exactly (two_sum), |r| <= 0.5 + pair ulp
+    r_hi, r_lo = _df_add(y_hi, y_lo, -k, jnp.zeros_like(y_hi))
+    a_hi, a_lo = _df_mul(r_hi, r_lo, jnp.full_like(xhi, _PIO2_HI),
+                         jnp.full_like(xhi, _PIO2_LO))
+    w_hi, w_lo = _df_mul(a_hi, a_lo, a_hi, a_lo)  # a^2
+    # sin(a) = a + a*(a^2 * P(a^2))
+    p_hi, p_lo = _poly_df(_SIN_C, w_hi, w_lo)
+    t_hi, t_lo = _df_mul(p_hi, p_lo, w_hi, w_lo)
+    t_hi, t_lo = _df_mul(t_hi, t_lo, a_hi, a_lo)
+    s_hi, s_lo = _df_add(a_hi, a_lo, t_hi, t_lo)
+    # cos(a) = 1 + a^2 * Q(a^2)
+    q_hi, q_lo = _poly_df(_COS_C, w_hi, w_lo)
+    q_hi, q_lo = _df_mul(q_hi, q_lo, w_hi, w_lo)
+    c_hi, c_lo = _df_add(jnp.ones_like(xhi), jnp.zeros_like(xhi), q_hi, q_lo)
+    # quadrant select: sin(x) = [sin, cos, -sin, -cos][k mod 4](a)
+    q4 = k - f32(4.0) * jnp.floor(k * f32(0.25))  # exact: /4 is a scale
+    use_cos = (q4 == f32(1.0)) | (q4 == f32(3.0))
+    neg = (q4 == f32(2.0)) | (q4 == f32(3.0))
+    o_hi = jnp.where(use_cos, c_hi, s_hi)
+    o_lo = jnp.where(use_cos, c_lo, s_lo)
+    return (jnp.where(neg, -o_hi, o_hi), jnp.where(neg, -o_lo, o_lo))

@@ -1099,17 +1099,23 @@ def _newton_in_kernel(n, nd_, nq_, nm_, layout, cfgk, build_matrix, const,
 
 def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk, mode,
                   const_hi, const_lo, dyn_hi, dyn_lo,
-                  st_hi, st_lo, jv_hi, jv_lo, cpu_build=False):
+                  st_hi, st_lo, jv_hi, jv_lo, cpu_build=False,
+                  dyn_tables=None):
     """One whole transient attempt as a pure array function:
     (const/dyn/state/jv double-float stacks) -> (xlte, stout, jvout) with a
     leading limb axis.  This is the ENTIRE in-kernel math; the Pallas kernel
     (``_fused_kernel``) is a thin ref wrapper around it, and the same
     function compiles directly under XLA (``TOYSPICE_TRAN_IMPL=xla``) — the
     CPU-fast path the parity tests use, since Pallas interpret mode
-    evaluates the Newton loop eagerly at ~seconds per attempt."""
+    evaluates the Newton loop eagerly at ~seconds per attempt.
+
+    ``dyn_tables``: the whole-run kernel (ops/pallas_run.py) computes the
+    per-attempt values IN-KERNEL instead of reading them from a dyn stack —
+    a dict of df pairs/lists {dt, act (bool), vsrc, isrc, lmterm, lmrhs,
+    kterm, krhsa, krhsb} replacing dyn_hi/dyn_lo (which are then unused)."""
     nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     f32 = jnp.float32
-    lanes = dyn_hi.shape[1:]
+    lanes = st_hi.shape[1:]
     zero = jnp.zeros(lanes, dtype=f32)
 
     def const(r):
@@ -1122,7 +1128,7 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk, mode,
         return (st_hi[r, :], st_lo[r, :])
 
     L = layout  # row-offset dict
-    dt = dyn(0)
+    dt = dyn_tables["dt"] if dyn_tables is not None else dyn(0)
     dtinv = _df_recip(*dt)
 
     f32c = jnp.float32
@@ -1162,16 +1168,26 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk, mode,
         ceq = [_df_mul(*st(L[qrow_key] + k), *dtinv) for k in range(nc_)]
         lterm = [_df_mul(*const(L["lval"] + k), *dtinv) for k in range(nl_)]
         lrhs = [_df_mul(*lterm[k], *st(L["l_i1"] + k)) for k in range(nl_)]
-    vsrc = [dyn(1 + k) for k in range(nv_)]
-    isrc = [dyn(1 + nv_ + k) for k in range(ni_)]
-    # magnetic-inductor and mutual-coupling rows: precomputed per attempt in
-    # XLA f64 (make_tran_fused body) — the kernel only sums them into cells
-    dlm = 1 + nv_ + ni_
-    lmterm = [dyn(dlm + k) for k in range(nlm_)]
-    lmrhs = [dyn(dlm + nlm_ + k) for k in range(nlm_)]
-    kterm = [dyn(dlm + 2 * nlm_ + k) for k in range(nk_)]
-    krhsa = [dyn(dlm + 2 * nlm_ + nk_ + k) for k in range(nk_)]
-    krhsb = [dyn(dlm + 2 * nlm_ + 2 * nk_ + k) for k in range(nk_)]
+    if dyn_tables is not None:
+        vsrc = dyn_tables["vsrc"]
+        isrc = dyn_tables["isrc"]
+        lmterm = dyn_tables["lmterm"]
+        lmrhs = dyn_tables["lmrhs"]
+        kterm = dyn_tables["kterm"]
+        krhsa = dyn_tables["krhsa"]
+        krhsb = dyn_tables["krhsb"]
+    else:
+        vsrc = [dyn(1 + k) for k in range(nv_)]
+        isrc = [dyn(1 + nv_ + k) for k in range(ni_)]
+        # magnetic-inductor and mutual-coupling rows: precomputed per attempt
+        # in XLA f64 (make_tran_fused body) — the kernel only sums them into
+        # cells
+        dlm = 1 + nv_ + ni_
+        lmterm = [dyn(dlm + k) for k in range(nlm_)]
+        lmrhs = [dyn(dlm + nlm_ + k) for k in range(nlm_)]
+        kterm = [dyn(dlm + 2 * nlm_ + k) for k in range(nk_)]
+        krhsa = [dyn(dlm + 2 * nlm_ + nk_ + k) for k in range(nk_)]
+        krhsb = [dyn(dlm + 2 * nlm_ + 2 * nk_ + k) for k in range(nk_)]
 
     tables = {"g": g, "geq": geq, "ceq": ceq, "lterm": lterm, "lrhs": lrhs,
               "vsrc": vsrc, "isrc": isrc, "lmterm": lmterm, "lmrhs": lmrhs,
@@ -1252,7 +1268,10 @@ def _attempt_core(n, counts, layout, cells, rhs_cells, cfgk, mode,
         # lanes the XLA attempt loop considers inactive (batch padding, or
         # instances already done) start converged: zero Newton iterations
         # instead of burning max_iter on their stale/singular systems
-        act_mask = dyn_hi[1 + nv_ + ni_ + 2 * nlm_ + 3 * nk_, :] > 0.5
+        if dyn_tables is not None:
+            act_mask = dyn_tables["act"]
+        else:
+            act_mask = dyn_hi[1 + nv_ + ni_ + 2 * nlm_ + 3 * nk_, :] > 0.5
         x_hi, x_lo, nr_k, nr_conv, jvout = _newton_in_kernel(
             n, nd_, nq_, nm_, layout, cfgk, build_matrix, const, jv_hi,
             jv_lo, dtinv, lanes, act_mask, mode=mode, st=st)
@@ -1726,6 +1745,216 @@ def _const_stack64(cc, params, state0, counts, bp, temp):
     return jnp.concatenate(out, axis=0)
 
 
+def _op_bias(cc, op_fused_fn, op_execute, op_seed, physics, params, state0):
+    """The pre-transient OP bias point (tran.go:57-75), batch-aware: fused
+    OP/Newton kernel when built, else the (vmapped) general engine; physics
+    seeds the committed state from the bias solution (engine/tran.py:
+    111-116).  Returns (opr, state0') — shared by the attempt-loop engine
+    and the whole-run kernel."""
+    paxes = {kind: {k: (0 if jnp.asarray(v).ndim
+                        == (3 if k in ("pwl_t", "pwl_v") else 2)
+                        else None)
+                    for k, v in tbl.items()}
+             for kind, tbl in params.items()}
+    saxes0 = {kind: {k: (0 if jnp.asarray(v).ndim == 2 else None)
+                     for k, v in tbl.items()}
+              for kind, tbl in state0.items()}
+    mapped = any(a == 0
+                 for t in list(paxes.values()) + list(saxes0.values())
+                 for a in t.values())
+    if op_fused_fn is not None:
+        # fused OP kernel: batch-native, (b, ·) outputs either way
+        opr = op_fused_fn(params, state0)
+    elif mapped:
+        opr = jax.vmap(op_execute, in_axes=(paxes, saxes0))(params, state0)
+    else:
+        opr = op_execute(params, state0)
+    if physics:
+        if mapped:
+            state0 = jax.vmap(op_seed, in_axes=(paxes, saxes0, 0))(
+                params, state0, opr.x)
+        elif op_fused_fn is not None:
+            # the fused OP is batch-native: opr.x is (b, np1) even for an
+            # unbatched run
+            state0 = op_seed(params, state0, opr.x[0])
+        else:
+            state0 = op_seed(params, state0, opr.x)
+    return opr, state0
+
+
+def _jv_stack64(counts, jv_tree, bp):
+    """Junction-voltage warm-start pytree -> (kj, bp) f64 stack (kj >= 1;
+    a dummy zero row for linear decks).  jv_tree=None -> zeros (UIC)."""
+    nd_, nq_, nm_ = counts[7], counts[8], counts[9]
+    kj = nd_ + 2 * nq_ + 3 * nm_
+    if kj == 0 or jv_tree is None:
+        return jnp.zeros((max(kj, 1), bp), dtype=jnp.float64)
+    jrows = []
+    if nd_:
+        jrows.append(_lanes(jv_tree["D"]["vd"], nd_, bp))
+    if nq_:
+        jrows.append(_lanes(jv_tree["Q"]["vbe"], nq_, bp))
+        jrows.append(_lanes(jv_tree["Q"]["vbc"], nq_, bp))
+    if nm_:
+        jrows.append(_lanes(jv_tree["M"]["vgs"], nm_, bp))
+        jrows.append(_lanes(jv_tree["M"]["vds"], nm_, bp))
+        jrows.append(_lanes(jv_tree["M"]["vbs"], nm_, bp))
+    return jnp.concatenate(jrows, axis=0)
+
+
+def _init_state_stack64(counts, physics, state0, bp):
+    """Initial committed-state pytree -> (ks, bp) f64 stack (row offsets:
+    ``_layout``; a dummy zero row when the circuit has no state)."""
+    nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
+
+    def srow(kind, key, nk):
+        leaf = state0.get(kind, {}).get(key)
+        if leaf is None:
+            return jnp.zeros((nk, bp), dtype=jnp.float64)
+        return _lanes(leaf, nk, bp)
+
+    srows = []
+    if nc_:
+        srows += [srow("C", "q0", nc_), srow("C", "q1", nc_),
+                  srow("C", "v0", nc_), srow("C", "v1", nc_)]
+    if nl_:
+        srows += [srow("L", "i0", nl_), srow("L", "i1", nl_),
+                  srow("L", "v0", nl_), srow("L", "v1", nl_),
+                  srow("L", "flux0", nl_)]
+    if physics:
+        # extra committed rows the physics companions read/write
+        # (_layout physics=True): C current + hist, L hist, diode
+        # diffusion-charge memory, MOSFET charges + companion currents
+        if nc_:
+            srows += [srow("C", "i0", nc_), srow("C", "hist", nc_)]
+        if nl_:
+            srows += [srow("L", "hist", nl_)]
+        if nd_:
+            srows += [srow("D", "prev_vd", nd_),
+                      srow("D", "prev_id", nd_),
+                      srow("D", "prev_charge", nd_),
+                      srow("D", "ic0", nd_), srow("D", "hist", nd_)]
+        if nm_:
+            srows += [srow("M", key, nm_)
+                      for key in ("qgs", "qgd", "qgb", "qbs", "qbd",
+                                  "icgs", "icgd", "icgb", "icbs",
+                                  "icbd", "hist")]
+    return (jnp.concatenate(srows, axis=0) if srows
+            else jnp.zeros((1, bp), dtype=jnp.float64))
+
+
+def _unpack_state_jv(counts, layout, physics, st64f, jvf, state0,
+                     accepted_b, b, bp):
+    """Final state stack + junction-voltage stack -> the TranOutput
+    (state, jv) pytrees, shared by the attempt-loop engine
+    (make_tran_fused) and the whole-run kernel (ops/pallas_run.py).
+
+    ``st64f`` is the (ks, b) f64 state stack, ``jvf`` the (kj, b) f64 jv
+    stack (None for linear decks).  Handles C/L/D/Q/M and the compat-LM
+    passthrough; the physics-LM live carry stays with make_tran_fused
+    (the J-A state lives in its XLA loop carry, not the stack)."""
+    nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
+    layoutL = layout
+    f64 = jnp.float64
+    nonlin = bool(nd_ or nq_ or nm_)
+
+    def grab(off, nk):
+        return jnp.transpose(st64f[off:off + nk], (1, 0))
+
+    def srow(kind, key, nk):
+        leaf = state0.get(kind, {}).get(key)
+        if leaf is None:
+            return jnp.zeros((nk, bp), dtype=f64)
+        return _lanes(leaf, nk, bp)
+
+    state = {}
+    if nc_:
+        started = (accepted_b > 0)[:, None]
+        if physics:
+            i00 = grab(layoutL["c_i0"], nc_)
+            hist_c = grab(layoutL["c_hist"], nc_)
+        else:
+            i00 = srow("C", "i0", nc_)[:, :b].T
+            hist_c = jnp.where(started, 1.0,
+                               srow("C", "hist", nc_)[:, :b].T)
+        state["C"] = {
+            "q0": grab(layoutL["c_q0"], nc_),
+            "q1": grab(layoutL["c_q1"], nc_),
+            "v0": grab(layoutL["c_v0"], nc_),
+            "v1": grab(layoutL["c_v1"], nc_),
+            "i0": i00, "hist": hist_c,
+        }
+    if nl_:
+        started = (accepted_b > 0)[:, None]
+        if physics:
+            hist_l = grab(layoutL["l_hist"], nl_)
+        else:
+            hist_l = jnp.where(started, 1.0,
+                               srow("L", "hist", nl_)[:, :b].T)
+        state["L"] = {
+            "i0": grab(layoutL["l_i0"], nl_),
+            "i1": grab(layoutL["l_i1"], nl_),
+            "v0": grab(layoutL["l_v0"], nl_),
+            "v1": grab(layoutL["l_v1"], nl_),
+            "flux0": grab(layoutL["l_flux0"], nl_),
+            "hist": hist_l,
+        }
+    if nlm_ and not physics and "LM" in state0:
+        # compat never commits magnetic-inductor state (PLAN.md 1):
+        # pass state0 through, broadcast to the batch
+        state["LM"] = {k: _lanes(state0["LM"][k], nlm_, bp)[:, :b].T
+                       for k in state0["LM"]}
+    jv_out = {}
+    if nonlin:
+        nd2, nq2, nm2 = nd_, nq_, nm_
+        # compat: diode/BJT transient state is never committed (PLAN.md
+        # 1) — pass state0 through, broadcast to the batch like the
+        # general engine's vmapped tree_map does.  physics commits D/M
+        # in-kernel (state stack rows); Q has no committed state in
+        # either semantics (engine/state.py make_commit has no Q branch)
+        for kind, nk in (("D", nd2), ("Q", nq2), ("M", nm2)):
+            if not nk or kind not in state0:
+                continue
+            if physics and kind == "D":
+                state["D"] = {
+                    "prev_vd": grab(layoutL["d_pvd"], nd2),
+                    "prev_id": grab(layoutL["d_pid"], nd2),
+                    "prev_charge": grab(layoutL["d_pq_s"], nd2),
+                    "ic0": grab(layoutL["d_ic0"], nd2),
+                    "hist": grab(layoutL["d_hist"], nd2),
+                }
+            elif physics and kind == "M":
+                state["M"] = {
+                    key: grab(layoutL[row], nm2)
+                    for key, row in (
+                        ("qgs", "m_qgs_s"), ("qgd", "m_qgd_s"),
+                        ("qgb", "m_qgb_s"), ("qbs", "m_qbs_s"),
+                        ("qbd", "m_qbd_s"), ("icgs", "m_icgs_s"),
+                        ("icgd", "m_icgd_s"), ("icgb", "m_icgb_s"),
+                        ("icbs", "m_icbs_s"), ("icbd", "m_icbd_s"),
+                        ("hist", "m_hist_s"))}
+            else:
+                state[kind] = {
+                    k: _lanes(state0[kind][k], nk, bp)[:, :b].T
+                    for k in state0[kind]}
+        if nd2:
+            o = layoutL["jv_d"]
+            jv_out["D"] = {"vd": jnp.transpose(jvf[o:o + nd2], (1, 0))}
+        if nq2:
+            ob, oc = layoutL["jv_qbe"], layoutL["jv_qbc"]
+            vbe = jnp.transpose(jvf[ob:ob + nq2], (1, 0))
+            vbc = jnp.transpose(jvf[oc:oc + nq2], (1, 0))
+            # vce = vbe − vbc always holds on exit (nlstate.py:70)
+            jv_out["Q"] = {"vbe": vbe, "vbc": vbc, "vce": vbe - vbc}
+        if nm2:
+            jv_out["M"] = {
+                key: jnp.transpose(
+                    jvf[layoutL[off]:layoutL[off] + nm2], (1, 0))
+                for key, off in (("vgs", "jv_mgs"), ("vds", "jv_mds"),
+                                 ("vbs", "jv_mbs"))}
+    return state, jv_out
+
+
 def make_tran_fused(cc, cfg, opts, block: int | None = None,
                     store: str = "none", resume: bool = False,
                     semantics: str = "compat", stream: bool = False):
@@ -1897,37 +2126,10 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         # physics non-UIC transients seed the committed state from the bias
         # solution (engine/tran.py:111-116), which the LM carry and the
         # state stack below must see. ----
-        paxes = {kind: {k: (0 if jnp.asarray(v).ndim
-                            == (3 if k in ("pwl_t", "pwl_v") else 2)
-                            else None)
-                        for k, v in tbl.items()}
-                 for kind, tbl in params.items()}
-        saxes0 = {kind: {k: (0 if jnp.asarray(v).ndim == 2 else None)
-                         for k, v in tbl.items()}
-                  for kind, tbl in state0.items()}
-        mapped = any(a == 0
-                     for t in list(paxes.values()) + list(saxes0.values())
-                     for a in t.values())
         opr = None
         if need_op and not resume and not cfg.uic:
-            if op_fused_fn is not None:
-                # fused OP kernel: batch-native, (b, ·) outputs either way
-                opr = op_fused_fn(params, state0)
-            elif mapped:
-                opr = jax.vmap(op_execute, in_axes=(paxes, saxes0))(
-                    params, state0)
-            else:
-                opr = op_execute(params, state0)
-            if physics:
-                if mapped:
-                    state0 = jax.vmap(op_seed, in_axes=(paxes, saxes0, 0))(
-                        params, state0, opr.x)
-                elif op_fused_fn is not None:
-                    # the fused OP is batch-native: opr.x is (b, np1) even
-                    # for an unbatched run
-                    state0 = op_seed(params, state0, opr.x[0])
-                else:
-                    state0 = op_seed(params, state0, opr.x)
+            opr, state0 = _op_bias(cc, op_fused_fn, op_execute, op_seed,
+                                   physics, params, state0)
 
         # ---- magnetic-inductor / mutual-coupling values.  compat freezes
         # the J-A core state (PLAN.md 1), so everything except the
@@ -1996,76 +2198,15 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         # ---- junction-voltage warm start: the OP bias point (tran.go:57-75)
         # through the general XLA engine, rescue ladders included; a resumed
         # run carries the checkpointed linearization instead ----
-        if nonlin:
-            if resume:
-                jrows = []
-                if nd_:
-                    jrows.append(_lanes(jv0["D"]["vd"], nd_, bp))
-                if nq_:
-                    jrows.append(_lanes(jv0["Q"]["vbe"], nq_, bp))
-                    jrows.append(_lanes(jv0["Q"]["vbc"], nq_, bp))
-                if nm_:
-                    jrows.append(_lanes(jv0["M"]["vgs"], nm_, bp))
-                    jrows.append(_lanes(jv0["M"]["vds"], nm_, bp))
-                    jrows.append(_lanes(jv0["M"]["vbs"], nm_, bp))
-                jv64 = jnp.concatenate(jrows, axis=0)
-            elif cfg.uic:
-                jv64 = jnp.zeros((nd_ + 2 * nq_ + 3 * nm_, bp),
-                                 dtype=jnp.float64)
-            else:
-                # opr computed above (before the state-derived tables)
-                jrows = []
-                if nd_:
-                    jrows.append(_lanes(opr.jv["D"]["vd"], nd_, bp))
-                if nq_:
-                    jrows.append(_lanes(opr.jv["Q"]["vbe"], nq_, bp))
-                    jrows.append(_lanes(opr.jv["Q"]["vbc"], nq_, bp))
-                if nm_:
-                    jrows.append(_lanes(opr.jv["M"]["vgs"], nm_, bp))
-                    jrows.append(_lanes(opr.jv["M"]["vds"], nm_, bp))
-                    jrows.append(_lanes(opr.jv["M"]["vbs"], nm_, bp))
-                jv64 = jnp.concatenate(jrows, axis=0)
-            jvh0, jvl0 = _hi_lo(jv64)
-        else:
-            jvh0 = jnp.zeros((1, bp), dtype=jnp.float32)
-            jvl0 = jnp.zeros((1, bp), dtype=jnp.float32)
+        jv64 = _jv_stack64(
+            counts,
+            ((jv0 if resume else (None if cfg.uic else opr.jv))
+             if nonlin else None), bp)
+        jvh0, jvl0 = _hi_lo(jv64)
         kj = jvh0.shape[0]
 
         # ---- initial state stack ----
-        def srow(kind, key, nk):
-            leaf = state0.get(kind, {}).get(key)
-            if leaf is None:
-                return jnp.zeros((nk, bp), dtype=jnp.float64)
-            return _lanes(leaf, nk, bp)
-
-        srows = []
-        if nc_:
-            srows += [srow("C", "q0", nc_), srow("C", "q1", nc_),
-                      srow("C", "v0", nc_), srow("C", "v1", nc_)]
-        if nl_:
-            srows += [srow("L", "i0", nl_), srow("L", "i1", nl_),
-                      srow("L", "v0", nl_), srow("L", "v1", nl_),
-                      srow("L", "flux0", nl_)]
-        if physics:
-            # extra committed rows the physics companions read/write
-            # (_layout physics=True): C current + hist, L hist, diode
-            # diffusion-charge memory, MOSFET charges + companion currents
-            if nc_:
-                srows += [srow("C", "i0", nc_), srow("C", "hist", nc_)]
-            if nl_:
-                srows += [srow("L", "hist", nl_)]
-            if nd_:
-                srows += [srow("D", "prev_vd", nd_),
-                          srow("D", "prev_id", nd_),
-                          srow("D", "prev_charge", nd_),
-                          srow("D", "ic0", nd_), srow("D", "hist", nd_)]
-            if nm_:
-                srows += [srow("M", key, nm_)
-                          for key in ("qgs", "qgd", "qgb", "qbs", "qbd",
-                                      "icgs", "icgd", "icgb", "icbs",
-                                      "icbd", "hist")]
-        st64 = (jnp.concatenate(srows, axis=0) if srows
-                else jnp.zeros((1, bp), dtype=jnp.float64))
+        st64 = _init_state_stack64(counts, physics, state0, bp)
         st_hi0, st_lo0 = _hi_lo(st64)
         ks = st_hi0.shape[0]
 
@@ -2408,98 +2549,16 @@ def make_tran_fused(cc, cfg, opts, block: int | None = None,
         # ---- unpack state stack -> f64 dict (batch-leading) ----
         st64f = (c["st_hi"].astype(f64)
                  + c["st_lo"].astype(f64)).reshape(ks, bp)[:, :b]
-
-        def grab(off, nk):
-            return jnp.transpose(st64f[off:off + nk], (1, 0))
-
-        state = {}
-        if nc_:
-            started = (c["accepted"][:b] > 0)[:, None]
-            if physics:
-                i00 = grab(layout["c_i0"], nc_)
-                hist_c = grab(layout["c_hist"], nc_)
-            else:
-                i00 = srow("C", "i0", nc_)[:, :b].T
-                hist_c = jnp.where(started, 1.0,
-                                   srow("C", "hist", nc_)[:, :b].T)
-            state["C"] = {
-                "q0": grab(layout["c_q0"], nc_), "q1": grab(layout["c_q1"], nc_),
-                "v0": grab(layout["c_v0"], nc_), "v1": grab(layout["c_v1"], nc_),
-                "i0": i00, "hist": hist_c,
-            }
-        if nl_:
-            started = (c["accepted"][:b] > 0)[:, None]
-            if physics:
-                hist_l = grab(layout["l_hist"], nl_)
-            else:
-                hist_l = jnp.where(started, 1.0,
-                                   srow("L", "hist", nl_)[:, :b].T)
-            state["L"] = {
-                "i0": grab(layout["l_i0"], nl_), "i1": grab(layout["l_i1"], nl_),
-                "v0": grab(layout["l_v0"], nl_), "v1": grab(layout["l_v1"], nl_),
-                "flux0": grab(layout["l_flux0"], nl_),
-                "hist": hist_l,
-            }
+        jvf = ((c["jv_hi"].astype(f64)
+                + c["jv_lo"].astype(f64)).reshape(kj, bp)[:, :b]
+               if nonlin else None)
+        state, jv_out = _unpack_state_jv(
+            counts, layout, physics, st64f, jvf, state0,
+            c["accepted"][:b], b, bp)
         if nlm_ and physics:
             # live state from the f64 carry
             state["LM"] = {k: jnp.transpose(v[:, :b], (1, 0))
                            for k, v in c["lm"].items()}
-        elif nlm_ and "LM" in state0:
-            # compat never commits magnetic-inductor state (PLAN.md 1):
-            # pass state0 through, broadcast to the batch
-            state["LM"] = {k: _lanes(state0["LM"][k], nlm_, bp)[:, :b].T
-                           for k in state0["LM"]}
-        if nonlin:
-            # compat: diode/BJT transient state is never committed (PLAN.md
-            # 1) — pass state0 through, broadcast to the batch like the
-            # general engine's vmapped tree_map does.  physics commits D/M
-            # in-kernel (state stack rows); Q has no committed state in
-            # either semantics (engine/state.py make_commit has no Q branch)
-            for kind, nk in (("D", nd_), ("Q", nq_), ("M", nm_)):
-                if not nk or kind not in state0:
-                    continue
-                if physics and kind == "D":
-                    state["D"] = {
-                        "prev_vd": grab(layout["d_pvd"], nd_),
-                        "prev_id": grab(layout["d_pid"], nd_),
-                        "prev_charge": grab(layout["d_pq_s"], nd_),
-                        "ic0": grab(layout["d_ic0"], nd_),
-                        "hist": grab(layout["d_hist"], nd_),
-                    }
-                elif physics and kind == "M":
-                    state["M"] = {
-                        key: grab(layout[row], nm_)
-                        for key, row in (
-                            ("qgs", "m_qgs_s"), ("qgd", "m_qgd_s"),
-                            ("qgb", "m_qgb_s"), ("qbs", "m_qbs_s"),
-                            ("qbd", "m_qbd_s"), ("icgs", "m_icgs_s"),
-                            ("icgd", "m_icgd_s"), ("icgb", "m_icgb_s"),
-                            ("icbs", "m_icbs_s"), ("icbd", "m_icbd_s"),
-                            ("hist", "m_hist_s"))}
-                else:
-                    state[kind] = {
-                        k: _lanes(state0[kind][k], nk, bp)[:, :b].T
-                        for k in state0[kind]}
-            jvf = (c["jv_hi"].astype(f64)
-                   + c["jv_lo"].astype(f64)).reshape(kj, bp)[:, :b]
-            jv_out = {}
-            if nd_:
-                o = layout["jv_d"]
-                jv_out["D"] = {"vd": jnp.transpose(jvf[o:o + nd_], (1, 0))}
-            if nq_:
-                ob, oc = layout["jv_qbe"], layout["jv_qbc"]
-                vbe = jnp.transpose(jvf[ob:ob + nq_], (1, 0))
-                vbc = jnp.transpose(jvf[oc:oc + nq_], (1, 0))
-                # vce = vbe − vbc always holds on exit (nlstate.py:70)
-                jv_out["Q"] = {"vbe": vbe, "vbc": vbc, "vce": vbe - vbc}
-            if nm_:
-                jv_out["M"] = {
-                    key: jnp.transpose(
-                        jvf[layout[off]:layout[off] + nm_], (1, 0))
-                    for key, off in (("vgs", "jv_mgs"), ("vds", "jv_mds"),
-                                     ("vbs", "jv_mbs"))}
-        else:
-            jv_out = {}
 
         if store == "full":
             # Compact kept attempt rows into accepted order.  Lane-leading

@@ -118,6 +118,41 @@ def run_dc(name="diode3.cir"):
             f"x max rel {rel:.2e}")
 
 
+def run_ac(name="bjt3.cir"):
+    """Fused AC stamped-solve (ops/pallas_ac.py, one in-kernel build+GJ
+    per (instance, frequency)) vs the general (B, F)-flattened
+    assemble+solve path, both over the same fused bias."""
+    from toyspice_tpu.engine.ac import frequency_points, make_ac_batch
+
+    cc, params, axes, state0 = _load(name)
+    ap = cc.netlist.ac
+    freqs = jnp.asarray(frequency_points(ap.sweep, ap.fstart, ap.fstop,
+                                         ap.points))
+    saved = os.environ.get("TOYSPICE_AC")
+    try:
+        os.environ["TOYSPICE_AC"] = "general"
+        xr_g, xi_g, opr_g = jax.block_until_ready(jax.jit(
+            make_ac_batch(cc, axes, DEFAULTS))(params, state0, freqs))
+        os.environ["TOYSPICE_AC"] = "fused"
+        xr_f, xi_f, opr_f = jax.block_until_ready(jax.jit(
+            make_ac_batch(cc, axes, DEFAULTS))(params, state0, freqs))
+    finally:
+        if saved is None:
+            os.environ.pop("TOYSPICE_AC", None)
+        else:
+            os.environ["TOYSPICE_AC"] = saved
+    np.testing.assert_array_equal(np.asarray(opr_f.converged),
+                                  np.asarray(opr_g.converged), err_msg=name)
+    scale = max(float(np.max(np.abs(np.asarray(xr_g)))),
+                float(np.max(np.abs(np.asarray(xi_g)))), 1.0)
+    rel = max(float(np.max(np.abs(np.asarray(xr_f) - np.asarray(xr_g)))),
+              float(np.max(np.abs(np.asarray(xi_f)
+                                  - np.asarray(xi_g))))) / scale
+    assert rel < 1e-9, f"{name} ac: x rel {rel:.2e}"
+    return (f"{name} AC sweep: OK  {freqs.shape[0]} freqs x {B} lanes, "
+            f"x max rel {rel:.2e}")
+
+
 def main():
     print("devices:", jax.devices())
     fails = 0
@@ -132,6 +167,11 @@ def main():
     except Exception as e:  # noqa: BLE001
         fails += 1
         print(f"diode3 DC: FAIL {type(e).__name__}: {e}", flush=True)
+    try:
+        print(run_ac(), flush=True)
+    except Exception as e:  # noqa: BLE001
+        fails += 1
+        print(f"bjt3 AC: FAIL {type(e).__name__}: {e}", flush=True)
     if fails:
         sys.exit(1)
     print("fused-OP A/B sweep: all decks match")

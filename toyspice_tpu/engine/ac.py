@@ -81,6 +81,9 @@ def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
     op_fused_ineligible_reason)."""
     import os
 
+    import numpy as np
+
+    from ..ops.pallas_ac import ac_fused_ineligible_reason, ac_solve_batch
     from ..ops.pallas_op import make_op_fused, op_fused_ineligible_reason
     from ..ops.solve import _solver_backend
 
@@ -95,6 +98,18 @@ def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
     else:
         op_execute, _ = make_op(cc, opts, semantics=semantics)
 
+    # Fused AC stamped-solve (ops/pallas_ac.py): the system is exactly
+    # linear in omega, so ONE per-instance assemble at omega = 1 (B lanes,
+    # f64, every stamp semantic shared verbatim) feeds a single kernel
+    # that builds + GJ-solves all (B, F) systems in VMEM — no
+    # (B, F, 2N, 2N) HBM tensor.  TOYSPICE_AC=general|fused|auto.
+    ac_mode = os.environ.get("TOYSPICE_AC", "auto")
+    fused_solve = (ac_fused_ineligible_reason(cc, semantics, opts,
+                                              params) is None
+                   and ac_mode != "general"
+                   and (ac_mode == "fused"
+                        or _solver_backend() == "pallas"))
+
     def asm(params, state, jv, freq):
         return assemble_system_ac(cc, params, state, jv, freq, temp=opts.temp,
                                   semantics=semantics)
@@ -105,6 +120,15 @@ def make_ac_batch(cc, in_axes, opts: SimOptions = DEFAULTS,
         else:
             opr = jax.vmap(lambda p: op_execute(p, state0),
                            in_axes=(in_axes,))(params)
+        if fused_solve:
+            freq_unit = 1.0 / (2.0 * np.pi)
+            omega_used = 2.0 * np.pi * freq_unit  # ~1.0 to the last ulp
+            a2_1, b2 = jax.vmap(asm, in_axes=(in_axes, None, 0, None))(
+                params, state0, opr.jv, freq_unit)
+            if omega_used != 1.0:  # recover the exact unit susceptance
+                a2_1 = a2_1.at[:, np1:, :np1].divide(omega_used)
+            x2 = ac_solve_batch(cc, a2_1, b2, freqs)
+            return x2[..., :np1], x2[..., np1:], opr
         a2, b2 = jax.vmap(
             jax.vmap(asm, in_axes=(None, None, None, 0)),
             in_axes=(in_axes, None, 0, None),

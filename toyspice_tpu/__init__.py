@@ -20,8 +20,16 @@ user already configured it.
 """
 
 import os as _os
+import sys as _sys
 
 import jax as _jax
+
+# The whole-sweep DC kernel's jaxpr (P unrolled points around the in-kernel
+# Newton) exceeds CPython's default 1000-frame recursion limit during JAX
+# tracing AND Mosaic's recursive lowering (both observed as RecursionError
+# on real TPU, round 5).  Frames are small; 20000 is far below C-stack risk.
+if _sys.getrecursionlimit() < 20000:
+    _sys.setrecursionlimit(20000)
 
 # f64 by default: the whole reference algorithm is float64; tolerances like
 # abstol=1e-12 are meaningless in f32.  Users can opt out via the standard

@@ -46,7 +46,21 @@ def ja_calculate(p, st: CoreState, h, temp):
     he = h + p["alpha"] * st.M
     he_safe = jnp.where(jnp.abs(he) < 1e-6, 1.0, he)
     man_lin = mst * he / (3.0 * p["a"])
-    man_coth = mst * (1.0 / jnp.tanh(he_safe / p["a"]) - p["a"] / he_safe)
+    # Langevin L(x) = coth(x) - 1/x evaluated STABLY: the direct difference
+    # cancels ~x^-2 digits for small x (at x ~ 1e-4 f64 keeps only ~8
+    # digits and the hysteretic state LATCHES the noise), so |x| < 0.25
+    # uses the Bernoulli series x/3 - x^3/45 + 2x^5/945 - ... instead.
+    # The fused whole-run kernel mirrors this form exactly in double-float
+    # (ops/pallas_run.py), which is what makes df-vs-f64 state parity hold.
+    x = he_safe / p["a"]
+    x2 = x * x
+    series = x * (1.0 / 3.0 + x2 * (-1.0 / 45.0 + x2 * (
+        2.0 / 945.0 + x2 * (-1.0 / 4725.0 + x2 * (
+            2.0 / 93555.0 + x2 * (-1382.0 / 638512875.0))))))
+    x_safe = jnp.where(jnp.abs(x) < 1e-30, 1.0, x)
+    direct = 1.0 / jnp.tanh(x_safe) - 1.0 / x_safe
+    langevin = jnp.where(jnp.abs(x) < 0.25, series, direct)
+    man_coth = mst * langevin
     man = jnp.where(jnp.abs(he) < 1e-6, man_lin, man_coth)
 
     denom = p["k"] * delta - p["alpha"] * (man - st.Mirr)

@@ -366,11 +366,15 @@ def _dc_sweep_core(n, counts, layout, cells, rhs_cells, cfgk, gmin_floor,
         jh, jl, oh, ol = carry
 
         def vrow(k):
+            # VECTOR predicate (scalar pt broadcast against a lane-shaped
+            # iota-free constant): Mosaic's scalar-pred select and scalar
+            # bool->f32 convert paths both recurse its lowering to death
+            # (observed on real TPU, round 5)
             ah, al = vs_h4[0, k], vs_l4[0, k]
             for q in range(1, n_pts):
-                sel = pt == q
-                ah = jnp.where(sel, vs_h4[q, k], ah)
-                al = jnp.where(sel, vs_l4[q, k], al)
+                selv = jnp.full(lanes, q, dtype=jnp.int32) == pt
+                ah = jnp.where(selv, vs_h4[q, k], ah)
+                al = jnp.where(selv, vs_l4[q, k], al)
             return (ah, al)
 
         vextra = {}
@@ -395,16 +399,29 @@ def _dc_sweep_core(n, counts, layout, cells, rhs_cells, cfgk, gmin_floor,
         rows_hi = jnp.concatenate(
             [x_hi, nr_k.astype(f32)[None], nr_conv.astype(f32)[None]])
         rows_lo = jnp.concatenate([x_lo, zero[None], zero[None]])
-        pidx = jnp.asarray(
-            np.arange(n_pts, dtype=np.int32).reshape((n_pts,) + (1,) * 3))
-        pmask = pidx == pt
-        oh = jnp.where(pmask, rows_hi[None], oh)
-        ol = jnp.where(pmask, rows_lo[None], ol)
+        # Per-point output write as a STATIC loop of vector-predicate
+        # selects (the Newton kernel's proven masking pattern).  The
+        # alternatives all kill Mosaic: a captured numpy iota constant is
+        # rejected by pallas_call, an (n_pts, 1, 1, 1) broadcast mask and
+        # a scalar bool->f32 convert both recurse its lowering to death
+        # (all observed on real TPU, round 5 — the CPU impl=xla tests
+        # never exercise Mosaic).
+        oh_rows, ol_rows = [], []
+        for q in range(n_pts):
+            selv = (jnp.full(lanes, q, dtype=jnp.int32) == pt)[None]
+            oh_rows.append(jnp.where(selv, rows_hi, oh[q]))
+            ol_rows.append(jnp.where(selv, rows_lo, ol[q]))
+        oh = jnp.stack(oh_rows)
+        ol = jnp.stack(ol_rows)
         return (jvout[0], jvout[1], oh, ol)
 
     out0 = jnp.zeros((n_pts, n + 2) + lanes, dtype=f32)
+    # int32 bounds: Python-int fori bounds make the induction variable
+    # int64 under x64, and Mosaic's i32->i64 convert helper recurses its
+    # own lowering forever (observed on real TPU, round 5 — the CLAUDE.md
+    # int32-literal invariant applies to loop bounds too)
     jh, jl, oh, ol = jax.lax.fori_loop(
-        0, n_pts, body, (jv_hi, jv_lo, out0, out0))
+        jnp.int32(0), jnp.int32(n_pts), body, (jv_hi, jv_lo, out0, out0))
     oh = oh.reshape((n_pts * (n + 2),) + lanes)
     ol = ol.reshape((n_pts * (n + 2),) + lanes)
     return jnp.stack([oh, ol]), jnp.stack([jh, jl])
@@ -877,7 +894,24 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
 
     def dc_fused(params, state0, points):
         b = _infer_batch(params, state0)
-        blk, bp, w = _block_geometry(b, block)
+        max_pts = int(os.environ.get("TOYSPICE_DC_SWEEP_KERNEL_MAX_PTS",
+                                     "128"))
+        use_k = use_kernel and int(points.shape[0]) <= max_pts
+        blk_eff = block
+        if use_k:
+            # the whole-sweep kernel's VMEM footprint scales with
+            # P*(n+2)*blk (the per-point output carry, which Mosaic
+            # DOUBLE-BUFFERS as grid blocks) + the augmented matrix: cap
+            # the block so scoped VMEM stays under the 16M limit
+            # (measured: n=4, P=40 OOMs at blk=3072 with 24.6M; a 5M
+            # single-copy budget keeps the double-buffered total safe)
+            n_pts_i = int(points.shape[0])
+            per_lane = (8 * n_pts_i * (n + 2)
+                        + 8 * (n + 2) * (n + 1) + 2000)
+            blk_eff = min(block,
+                          max(1024, (5_000_000 // per_lane)
+                              // 1024 * 1024))
+        blk, bp, w = _block_geometry(b, blk_eff)
         call = _make_call(cc, counts, layout, cfgk, "dc", opts.gmin,
                           n, kj, bp, blk, mode=mode)
         const64 = _const_stack64(cc, params, state0, counts, bp, temp)
@@ -904,9 +938,7 @@ def make_dc_fused(cc, src_slots, opts, semantics: str = "compat",
         x_zero = jnp.zeros((2, n, 8, bp // 8), dtype=jnp.float32)
         jv_zero = jnp.zeros((2, kj, 8, bp // 8), dtype=jnp.float32)
 
-        max_pts = int(os.environ.get("TOYSPICE_DC_SWEEP_KERNEL_MAX_PTS",
-                                     "128"))
-        if use_kernel and int(points.shape[0]) <= max_pts:
+        if use_k:
             return _dc_sweep_call(
                 cc, counts, layout, cells_s, rhs_cells_s, cfgk, opts.gmin,
                 mode, src_slots, params, points, const_hi, const_lo,

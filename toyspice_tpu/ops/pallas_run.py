@@ -29,10 +29,12 @@ within ~2^-48 relative of a decision threshold; the on-TPU A/B
 over the deck matrix.
 
 Serves store='none' (the waveform buffer of store='full' exceeds scoped
-VMEM), both semantics — physics excluding magnetic/mutual decks (the J-A
-core update carries XLA-side state, make_tran_fused keeps those); compat
-LM/K decks fuse fully (the frozen-core values are run constants, the
-junk-i0 mutual memory reads the live in-kernel state stack).
+VMEM) and BOTH semantics over the full fused device set.  Compat LM/K
+decks fuse with frozen-core run constants (PLAN.md 1); physics magnetic
+decks carry the LIVE Jiles-Atherton core in the in-kernel state stack —
+the J-A update (magnetic.go:88-132, coth via df_exp) runs in df per
+attempt and commits on accept, closing the last XLA-side state carry
+(round-4 VERDICT missing #8).
 """
 
 import functools
@@ -46,13 +48,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..compiler import SRC_DC, SRC_SIN, SRC_PULSE, SRC_PWL
-from .df_math import df_div, df_floor, df_sin
+from .df_math import df_div, df_exp, df_floor, df_pow, df_sin, df_sqrt
 from .pallas_solve import _df_add, _df_mul, _df_recip, _unpinned
 from .pallas_tran import (_attempt_core, _build_plan, _const_stack64,
-                          _df_abs, _df_const, _df_gt, _df_neg, _df_twice,
-                          _df_where, _hi_lo, _init_state_stack64,
-                          _jv_stack64, _lanes, _layout, _op_bias,
-                          _unpack_state_jv, fused_ineligible_reason)
+                          _df_abs, _df_const, _df_gt, _df_max, _df_neg,
+                          _df_twice, _df_where, _hi_lo,
+                          _init_state_stack64, _jv_stack64, _lanes,
+                          _layout, _op_bias, _unpack_state_jv,
+                          fused_ineligible_reason)
 
 
 def run_ineligible_reason(cc, semantics: str, store: str, opts,
@@ -64,9 +67,6 @@ def run_ineligible_reason(cc, semantics: str, store: str, opts,
     if store != "none":
         return (f"store={store!r} (whole-run kernel serves store='none'; "
                 "waveform buffers exceed scoped VMEM)")
-    if semantics == "physics" and ("LM" in cc.idx or "K" in cc.idx):
-        return ("physics magnetic/mutual decks carry the J-A core state in "
-                "the XLA attempt loop (attempt-loop engine)")
     return None
 
 
@@ -77,13 +77,15 @@ def run_eligible(cc, semantics: str, store: str, opts, params=None) -> bool:
 # ------------------------------------------------------- run-const stack
 
 
-def _run_const64(cc, params, state0, counts, bp, temp):
+def _run_const64(cc, params, state0, counts, bp, temp, physics=False):
     """Run-invariant rows the whole-run kernel needs BEYOND the device
     const stack (_const_stack64): per-source waveform parameters (with
     omega/phase precombined in f64 exactly like models/sources.py), PWL
-    knot tables flattened to (nS*P) rows, and the compat magnetic/mutual
-    values (frozen J-A core per PLAN.md 1 — L0/Leff/i0/i1 and the mutual
-    M = k*sqrt(La*Lb) are run constants).
+    knot tables flattened to (nS*P) rows, and the magnetic/mutual rows —
+    compat: frozen J-A core values (PLAN.md 1 — L0/Leff/i0/i1 and the
+    mutual M = k*sqrt(La*Lb) are run constants); physics: the J-A model
+    parameters (the live core state rides the state stack and the J-A
+    update runs IN-KERNEL per accepted step).
 
     Returns (rc64 (R, bp) f64, RL row-offset dict)."""
     from ..models import magnetic as mag_model
@@ -139,8 +141,6 @@ def _run_const64(cc, params, state0, counts, bp, temp):
         src_rows("I", "i_", ni_)
 
     if nlm_:
-        # compat frozen-core magnetic values (PLAN.md 1), exactly the
-        # loop-invariant tables make_tran_fused computes
         pml_lm = {k: _lanes(params["LM"][k], nlm_, bp)
                   for k in ("turns", "ms", "alpha", "a", "c", "k",
                             "area", "len", "tc", "beta")}
@@ -150,16 +150,26 @@ def _run_const64(cc, params, state0, counts, bp, temp):
             return (jnp.zeros((nlm_, bp), dtype=f64)
                     if leaf is None else _lanes(leaf, nlm_, bp))
 
-        lm_i0 = lmrow("i0")
-        core0 = mag_model.CoreState(
-            H=lmrow("H"), Hold=lmrow("Hold"), M=lmrow("M"),
-            Mirr=lmrow("Mirr"), dMdH=lmrow("dMdH"))
-        lm_leff, _ = mag_model.l_effective(pml_lm, core0, lm_i0,
-                                           jnp.float64(temp))
         add("lm_l0", jnp.broadcast_to(mag_model.l_zero(pml_lm), (nlm_, bp)))
-        add("lm_leff", jnp.broadcast_to(lm_leff, (nlm_, bp)))
-        add("lm_i0", lm_i0)
-        add("lm_i1", lmrow("i1"))
+        if physics:
+            # J-A model parameter rows for the in-kernel core update
+            # (magnetic.go:88-132 via models/magnetic.py ja_calculate)
+            add("lm_turns", pml_lm["turns"])
+            add("lm_len", pml_lm["len"])
+            for key in ("ms", "alpha", "a", "c", "k", "tc", "beta"):
+                add("lm_" + key, pml_lm[key])
+        else:
+            # compat frozen-core values (PLAN.md 1), exactly the
+            # loop-invariant tables make_tran_fused computes
+            lm_i0 = lmrow("i0")
+            core0 = mag_model.CoreState(
+                H=lmrow("H"), Hold=lmrow("Hold"), M=lmrow("M"),
+                Mirr=lmrow("Mirr"), dMdH=lmrow("dMdH"))
+            lm_leff, _ = mag_model.l_effective(pml_lm, core0, lm_i0,
+                                               jnp.float64(temp))
+            add("lm_leff", jnp.broadcast_to(lm_leff, (nlm_, bp)))
+            add("lm_i0", lm_i0)
+            add("lm_i1", lmrow("i1"))
     if nk_:
         kidx = cc.idx["K"]
         ka = np.asarray(kidx["kind_a"])
@@ -168,18 +178,24 @@ def _run_const64(cc, params, state0, counts, bp, temp):
         ib = np.asarray(kidx["idx_b"])
         lval_lanes = _lanes(params["L"]["value"], nl_, bp) if nl_ else None
         kcoeff_lanes = _lanes(params["K"]["coeff"], nk_, bp)
-        lm_vm = (jnp.broadcast_to(
-            mag_model.value_for_mutual(pml_lm, core0, lm_i0,
-                                       jnp.float64(temp)),
-            (nlm_, bp)) if nlm_ else None)
+        if physics:
+            # per-attempt M = k*sqrt(La*Lb) is computed in-kernel from the
+            # live core state; the coefficient (and linear partner L) are
+            # the run constants
+            add("k_coeff", kcoeff_lanes)
+        else:
+            lm_vm = (jnp.broadcast_to(
+                mag_model.value_for_mutual(pml_lm, core0, lm_i0,
+                                           jnp.float64(temp)),
+                (nlm_, bp)) if nlm_ else None)
 
-        def pick_pairs(kinds, idxs):
-            return jnp.stack([lval_lanes[i] if kk == 0 else lm_vm[i]
-                              for kk, i in zip(kinds, idxs)])
+            def pick_pairs(kinds, idxs):
+                return jnp.stack([lval_lanes[i] if kk == 0 else lm_vm[i]
+                                  for kk, i in zip(kinds, idxs)])
 
-        la_k = pick_pairs(ka, ia)
-        lb_k = pick_pairs(kb, ib)
-        add("k_mij", kcoeff_lanes * jnp.sqrt(la_k * lb_k))
+            la_k = pick_pairs(ka, ia)
+            lb_k = pick_pairs(kb, ib)
+            add("k_mij", kcoeff_lanes * jnp.sqrt(la_k * lb_k))
 
     if not rows:
         return jnp.zeros((1, bp), dtype=f64), RL
@@ -269,13 +285,14 @@ def _source_vals(stype, RL, rc, prefix, t, lanes):
             slope = df_div(*_df_add(*w2, *_df_neg(w1)), *den)
             val = _df_add(*w1, *_df_mul(*slope, *_df_add(*t, *_df_neg(t1))))
             out.append(_df_where(~_df_gt(t, knt[0]), knv[0], val))
-        else:  # SRC_DC
+        else:
+            assert s == SRC_DC, f"unknown source type {s}"
             out.append(rc(RL[prefix + "dc"] + k))
     return out
 
 
 def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
-              stype_v, stype_i, RL, kmeta,
+              stype_v, stype_i, RL, kmeta, lm_phys,
               const_hi, const_lo, rc_hi, rc_lo, live_row,
               st_hi0, st_lo0, jv_hi0, jv_lo0, cpu_build=False):
     """The whole transient run as a pure array function over the df
@@ -283,16 +300,23 @@ def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
     XLA for the CPU parity tests (cpu_build, TOYSPICE_TRAN_IMPL=xla).
 
     Control flow is a line-for-line counterpart of make_tran_fused's XLA
-    body (itself engine/tran.py = tran.go:96-152), in df.  Returns one
-    (2, ks+kj+4, *lanes) stack: [state, jv, t, dt, (acc|att), (nri|fail)]
-    with the counter rows packed hi/lo."""
+    body (itself engine/tran.py = tran.go:96-152), in df.  ``lm_phys``
+    (physics magnetic decks) carries the static metadata for the LIVE
+    in-kernel J-A core: the state-stack base of the 10 LM rows
+    [i0 i1 v0 v1 flux0 H Hold M Mirr dMdH], winding nodes/branches and the
+    core-sharing groups; the J-A update (magnetic.go:88-132) then runs in
+    df per attempt and commits on accept.  Returns one (2, ks+kj+4,
+    *lanes) stack: [state, jv, t, dt, (acc|att), (nri|fail)] with the
+    counter rows packed hi/lo."""
     nr_, nc_, nl_, nlm_, nv_, ni_, nk_, nd_, nq_, nm_ = counts
     tstop, minstep, tmax, trtol, max_attempts, trap = runcfg
+    physics = mode != "compat"
     f32 = jnp.float32
     i32 = jnp.int32
     lanes = st_hi0.shape[1:]
     zero = jnp.zeros(lanes, dtype=f32)
     izero = jnp.zeros(lanes, dtype=i32)
+    one_df = (jnp.ones(lanes, dtype=f32), zero)
     nonlin = bool(nd_ or nq_ or nm_)
     ks = st_hi0.shape[0]
     kj = jv_hi0.shape[0]
@@ -300,6 +324,9 @@ def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
 
     def rc(r):
         return (rc_hi[r, :], rc_lo[r, :])
+
+    def constf(r):
+        return (const_hi[r, :], const_lo[r, :])
 
     live = live_row[0] > f32(0.5)
     tstop_c = _df_const(tstop, lanes)
@@ -310,6 +337,29 @@ def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
     c11 = _df_const(1.1, lanes)
     c1en9 = _df_const(1e-9, lanes)
     max_att = i32(max_attempts)
+
+    def _df_clip(p, lo, hi):
+        lo_c = _df_const(lo, lanes)
+        hi_c = _df_const(hi, lanes)
+        return _df_where(_df_gt(lo_c, p), lo_c,
+                         _df_where(_df_gt(p, hi_c), hi_c, p))
+
+    def _df_coth(p):
+        # coth(x) = (e^{2x}+1)/(e^{2x}-1); df_exp clamps its 2^k scale so
+        # large |x| saturates to ±1 instead of overflowing
+        e = df_exp(*_df_twice(p))
+        return df_div(*_df_add(*e, *one_df), *_df_add(*e, *_df_neg(one_df)))
+
+    # LM physics constants (attempt-invariant)
+    if lm_phys is not None:
+        lm_base = lm_phys["base"]
+        lm_nodes = lm_phys["nodes"]
+        lm_branch = lm_phys["branch"]
+        lm_core_id = lm_phys["core_id"]
+        temp_ja = _df_const(300.15, lanes)  # ja commit temp (tran loop)
+        c_3 = _df_const(3.0, lanes)
+        c1em12 = _df_const(1e-12, lanes)
+        c1em6 = _df_const(1e-6, lanes)
 
     def body(c):
         (t_hi, t_lo, dt_hi, dt_lo, done, fail, acc, att, nri,
@@ -333,19 +383,37 @@ def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
         def st(r):
             return (st_hi[r, :], st_lo[r, :])
 
+        def lm_st(row, k):
+            # physics LM state rows: [i0 i1 v0 v1 flux0 H Hold M Mirr dMdH]
+            return st(lm_base + row * nlm_ + k)
+
+        def lm_lused_phys(k):
+            # incremental inductance from the carried core state
+            # (assemble.py LM physics branch)
+            dmdh = _df_clip(lm_st(9, k), -1e3, 1e3)
+            lraw = _df_mul(*rc(RL["lm_l0"] + k),
+                           *_df_add(*one_df, *dmdh))
+            return _df_max(c1em12, lraw)
+
         lmterm, lmrhs = [], []
         for k in range(nlm_):
-            # compat magnetic branch value (assemble.py LM tran): the t<dt
-            # gate and the |i0|<1e-9 guard, both honored exactly
-            i0 = rc(RL["lm_i0"] + k)
-            use_l0 = _df_gt(dt_eff, t) | _df_gt(c1en9, _df_abs(i0))
-            l_used = _df_where(use_l0, rc(RL["lm_l0"] + k),
-                               rc(RL["lm_leff"] + k))
+            if lm_phys is not None:
+                # physics: live incremental inductance, LM rows stay BE
+                l_used = lm_lused_phys(k)
+                i1 = lm_st(1, k)
+            else:
+                # compat magnetic branch value (assemble.py LM tran): the
+                # t<dt gate and the |i0|<1e-9 guard, both honored exactly
+                i0 = rc(RL["lm_i0"] + k)
+                use_l0 = _df_gt(dt_eff, t) | _df_gt(c1en9, _df_abs(i0))
+                l_used = _df_where(use_l0, rc(RL["lm_l0"] + k),
+                                   rc(RL["lm_leff"] + k))
+                i1 = rc(RL["lm_i1"] + k)
             lt = _df_mul(*l_used, *dtinv)
             lmterm.append(lt)
-            lmrhs.append(_df_mul(*lt, *rc(RL["lm_i1"] + k)))
+            lmrhs.append(_df_mul(*lt, *i1))
         kterm, krhsa, krhsb = [], [], []
-        if nk_:
+        if nk_ and not physics:
             ka, ia, kb, ib = kmeta
 
             def partner_i0(kind, idx):
@@ -363,6 +431,41 @@ def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
                 kterm.append(_df_mul(*mij, *dtinv))
                 krhsa.append(_df_neg(_df_mul(*_df_mul(*mij, *i0b), *dtinv)))
                 krhsb.append(_df_neg(_df_mul(*_df_mul(*mij, *i0a), *dtinv)))
+        elif nk_:
+            # physics mutual: per-attempt M = k*sqrt(La*Lb) from the live
+            # core, consistent +M/dt*I1 memory; trap upgrades both-linear
+            # pairs to 2M/dt after their windings have history
+            # (assemble.py K physics/trap blocks)
+            ka, ia, kb, ib = kmeta
+            both_lin = lm_phys["both_linear"] if lm_phys is not None else \
+                tuple(True for _ in range(nk_))
+
+            def partner_lv(kind, idx):
+                if kind == 0:
+                    return constf(layout["lval"] + idx)
+                return lm_lused_phys(idx)
+
+            def partner_i1(kind, idx):
+                if kind == 0:
+                    return st(layout["l_i1"] + idx)
+                return lm_st(1, idx)
+
+            for k in range(nk_):
+                la_p = partner_lv(int(ka[k]), int(ia[k]))
+                lb_p = partner_lv(int(kb[k]), int(ib[k]))
+                mij = _df_mul(*rc(RL["k_coeff"] + k),
+                              *df_sqrt(*_df_mul(*la_p, *lb_p)))
+                i1a = partner_i1(int(ka[k]), int(ia[k]))
+                i1b = partner_i1(int(kb[k]), int(ib[k]))
+                mcoef = _df_mul(*mij, *dtinv)
+                if trap and nl_ and both_lin[k]:
+                    ha = st(layout["l_hist"] + int(ia[k]))
+                    hb = st(layout["l_hist"] + int(ib[k]))
+                    started_k = (ha[0] > 0) & (hb[0] > 0)
+                    mcoef = _df_where(started_k, _df_twice(mcoef), mcoef)
+                kterm.append(mcoef)
+                krhsa.append(_df_mul(*mcoef, *i1b))
+                krhsb.append(_df_mul(*mcoef, *i1a))
 
         tables = dict(dt=dt_eff, act=active, vsrc=vsrc, isrc=isrc,
                       lmterm=lmterm, lmrhs=lmrhs, kterm=kterm,
@@ -371,6 +474,112 @@ def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
             n, counts, layout, cells, rhs_cells, cfgk, mode,
             const_hi, const_lo, None, None, st_hi, st_lo, jv_hi, jv_lo,
             cpu_build=cpu_build, dyn_tables=tables)
+
+        if lm_phys is not None:
+            # live magnetic commit candidates (engine/state.py make_commit
+            # LM physics, the XLA-carry block of make_tran_fused): windings
+            # on a shared core see the core's TOTAL magnetomotive force,
+            # every J-A guard (magnetic.go:88-132) included — all in df.
+            def xr(r):
+                return (xlte[0, r], xlte[1, r])
+
+            i_new = [_df_neg(xr(lm_branch[k])) for k in range(nlm_)]
+            vd_lm = [_df_add(*xr(lm_nodes[k][0]),
+                             *_df_neg(xr(lm_nodes[k][1])))
+                     for k in range(nlm_)]
+            lm_new_rows = []  # [i0 i1 v0 v1 flux0 H Hold M Mirr dMdH]
+            ja_out = []
+            for k in range(nlm_):
+                # mmf = segment_sum(turns*i, core_id)[core_id] as static
+                # adds over the winding's core group
+                mmf = None
+                for j in range(nlm_):
+                    if lm_core_id[j] != lm_core_id[k]:
+                        continue
+                    term = _df_mul(*rc(RL["lm_turns"] + j), *i_new[j])
+                    mmf = term if mmf is None else _df_add(*mmf, *term)
+                h = _df_clip(df_div(*mmf, *rc(RL["lm_len"] + k)),
+                             -1e6, 1e6)
+                hold = lm_st(6, k)
+                m_old = lm_st(7, k)
+                mirr_old = lm_st(8, k)
+                dh = _df_add(*h, *_df_neg(hold))
+                small = _df_gt(c1em12, _df_abs(dh))
+                neg_dh = dh[0] < 0
+                tc = rc(RL["lm_tc"] + k)
+                tc_pos = tc[0] > 0
+                base = df_div(*_df_add(*tc, *_df_neg(temp_ja)), *tc)
+                pw = df_pow(*_df_max(base, (zero + f32(1e-30), zero)),
+                            *rc(RL["lm_beta"] + k))
+                mst = _df_mul(*rc(RL["lm_ms"] + k),
+                              *_df_where(tc_pos, pw, one_df))
+                alpha = rc(RL["lm_alpha"] + k)
+                a_p = rc(RL["lm_a"] + k)
+                he = _df_add(*h, *_df_mul(*alpha, *m_old))
+                he_small = _df_gt(c1em6, _df_abs(he))
+                he_safe = _df_where(he_small, one_df, he)
+                man_lin = _df_mul(*mst, *df_div(*he, *_df_mul(*c_3, *a_p)))
+                # Langevin coth(x) - 1/x, the STABLE split of
+                # models/magnetic.py ja_calculate mirrored term for term:
+                # Bernoulli series below |x| < 0.25, direct difference
+                # above (where the cancellation amplification is bounded)
+                xq = df_div(*he_safe, *a_p)
+                x2q = _df_mul(*xq, *xq)
+                ser = _df_const(-1382.0 / 638512875.0, lanes)
+                for coef in (2.0 / 93555.0, -1.0 / 4725.0, 2.0 / 945.0,
+                             -1.0 / 45.0, 1.0 / 3.0):
+                    ser = _df_add(*_df_mul(*ser, *x2q),
+                                  *_df_const(coef, lanes))
+                ser = _df_mul(*ser, *xq)
+                direct = _df_add(*_df_coth(xq),
+                                 *_df_neg(_df_recip(*xq)))
+                lang = _df_where(_df_gt(_df_const(0.25, lanes),
+                                        _df_abs(xq)), ser, direct)
+                man = _df_where(he_small, man_lin,
+                                _df_mul(*mst, *lang))
+                kd = rc(RL["lm_k"] + k)
+                k_delta = _df_where(neg_dh, _df_neg(kd), kd)
+                mmr = _df_add(*man, *_df_neg(mirr_old))
+                denom = _df_add(*k_delta, *_df_neg(_df_mul(*alpha, *mmr)))
+                den_small = _df_gt(c1em12, _df_abs(denom))
+                den_sign = _df_where(denom[0] < 0, _df_neg(c1em12),
+                                     c1em12)
+                denom = _df_where(den_small, den_sign, denom)
+                dmirr_dh = df_div(*mmr, *denom)
+                mirr_new = _df_add(*mirr_old, *_df_mul(*dmirr_dh, *dh))
+                m_new = _df_add(
+                    *mirr_new,
+                    *_df_mul(*rc(RL["lm_c"] + k),
+                             *_df_add(*man, *_df_neg(mirr_new))))
+                dh_safe = _df_where(small, one_df, dh)
+                dmdh_new = df_div(*_df_add(*m_new, *_df_neg(m_old)),
+                                  *dh_safe)
+                ja_out.append(dict(
+                    H=_df_where(small, lm_st(5, k), h),
+                    Hold=_df_where(small, hold, h),
+                    M=_df_where(small, m_old, m_new),
+                    Mirr=_df_where(small, mirr_old, mirr_new),
+                    dMdH=_df_where(small, lm_st(9, k), dmdh_new)))
+            flux = [_df_add(*lm_st(4, k),
+                            *_df_mul(*vd_lm[k], *dt_eff))
+                    for k in range(nlm_)]
+            for row_vals in (
+                    i_new,                                  # i0
+                    [lm_st(0, k) for k in range(nlm_)],     # i1 <- old i0
+                    vd_lm,                                  # v0
+                    [lm_st(2, k) for k in range(nlm_)],     # v1 <- old v0
+                    flux,                                   # flux0
+                    [ja_out[k]["H"] for k in range(nlm_)],
+                    [ja_out[k]["Hold"] for k in range(nlm_)],
+                    [ja_out[k]["M"] for k in range(nlm_)],
+                    [ja_out[k]["Mirr"] for k in range(nlm_)],
+                    [ja_out[k]["dMdH"] for k in range(nlm_)]):
+                lm_new_rows.extend(row_vals)
+            lm_hi = jnp.stack([p[0] for p in lm_new_rows])
+            lm_lo = jnp.stack([p[1] for p in lm_new_rows])
+            stout = jnp.stack([
+                jnp.concatenate([stout[0, :lm_base], lm_hi], axis=0),
+                jnp.concatenate([stout[1, :lm_base], lm_lo], axis=0)])
 
         lte = (xlte[0, n], xlte[1, n])
         if nonlin:
@@ -441,12 +650,12 @@ def _run_core(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
 
 @_unpinned
 def _run_kernel(n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
-                stype_v, stype_i, RL, kmeta, dus_build,
+                stype_v, stype_i, RL, kmeta, lm_phys, dus_build,
                 const_hi_ref, const_lo_ref, rc_ref, live_ref,
                 st0_ref, jv0_ref, out_ref):
     out_ref[...] = _run_core(
         n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
-        stype_v, stype_i, RL, kmeta,
+        stype_v, stype_i, RL, kmeta, lm_phys,
         const_hi_ref[...], const_lo_ref[...], rc_ref[0], rc_ref[1],
         live_ref[...], st0_ref[0], st0_ref[1], jv0_ref[0], jv0_ref[1],
         cpu_build=dus_build)
@@ -494,6 +703,23 @@ def make_tran_run(cc, cfg, opts, block: int | None = None,
                       for key in ("kind_a", "idx_a", "kind_b", "idx_b"))
     else:
         kmeta = ((), (), (), ())
+    lm_phys_meta = None
+    if physics and nlm_:
+        # static metadata for the in-kernel live J-A core: the 10 LM state
+        # rows sit AFTER the standard physics state stack (which is a
+        # 1-row dummy when the deck has no other stateful devices)
+        lm_base = n_state if n_state > 0 else 1
+        lm_phys_meta = {
+            "base": int(lm_base),
+            "nodes": tuple(tuple(map(int, r))
+                           for r in np.asarray(cc.idx["LM"]["nodes"])),
+            "branch": tuple(int(v)
+                            for v in np.asarray(cc.idx["LM"]["branch"])),
+            "core_id": tuple(int(v)
+                             for v in np.asarray(cc.idx["LM"]["core_id"])),
+            "both_linear": tuple(bool(a == 0 and b == 0)
+                                 for a, b in zip(kmeta[0], kmeta[2])),
+        }
     need_op = nonlin or (physics and not cfg.uic)
     op_fused_fn = None
     if need_op and not cfg.uic:
@@ -522,13 +748,27 @@ def make_tran_run(cc, cfg, opts, block: int | None = None,
 
         const64 = _const_stack64(cc, params, state0, counts, bp, temp)
         const_hi, const_lo = _hi_lo(const64)
-        rc64, RL = _run_const64(cc, params, state0, counts, bp, temp)
+        rc64, RL = _run_const64(cc, params, state0, counts, bp, temp,
+                                physics=physics)
         rc_hi, rc_lo = _hi_lo(rc64)
         jv64 = _jv_stack64(
             counts, (None if cfg.uic else opr.jv) if nonlin else None, bp)
         jvh0, jvl0 = _hi_lo(jv64)
         kj = jvh0.shape[0]
         st64 = _init_state_stack64(counts, physics, state0, bp)
+        if lm_phys_meta is not None:
+            # append the live J-A winding+core rows (the attempt-loop
+            # engine carries these in its XLA loop; here they ride the
+            # in-kernel state stack)
+            def lmrow0(key):
+                leaf = state0.get("LM", {}).get(key)
+                return (jnp.zeros((nlm_, bp), dtype=f64) if leaf is None
+                        else _lanes(leaf, nlm_, bp))
+
+            st64 = jnp.concatenate(
+                [st64] + [lmrow0(key) for key in
+                          ("i0", "i1", "v0", "v1", "flux0",
+                           "H", "Hold", "M", "Mirr", "dMdH")], axis=0)
         st_hi0, st_lo0 = _hi_lo(st64)
         ks = st_hi0.shape[0]
 
@@ -552,7 +792,7 @@ def make_tran_run(cc, cfg, opts, block: int | None = None,
 
         kernel = functools.partial(
             _run_kernel, n, counts, layout, cells, rhs_cells, cfgk, mode,
-            runcfg, stype_v, stype_i, RL, kmeta,
+            runcfg, stype_v, stype_i, RL, kmeta, lm_phys_meta,
             os.environ.get("TOYSPICE_TRAN_KERNEL_BUILD") == "dus")
         rows_out = ks + kj + 4
         impl = os.environ.get("TOYSPICE_TRAN_IMPL", "kernel")
@@ -563,7 +803,7 @@ def make_tran_run(cc, cfg, opts, block: int | None = None,
         if impl == "xla":
             out = _run_core(
                 n, counts, layout, cells, rhs_cells, cfgk, mode, runcfg,
-                stype_v, stype_i, RL, kmeta,
+                stype_v, stype_i, RL, kmeta, lm_phys_meta,
                 args[0], args[1], args[2][0], args[2][1], args[3],
                 args[4][0], args[4][1], args[5][0], args[5][1],
                 cpu_build=True)
@@ -596,6 +836,14 @@ def make_tran_run(cc, cfg, opts, block: int | None = None,
 
         state, jv_out = _unpack_state_jv(
             counts, layout, physics, st64f, jvf, state0, accepted, b, bp)
+        if lm_phys_meta is not None:
+            off = lm_phys_meta["base"]
+            state["LM"] = {
+                key: jnp.transpose(
+                    st64f[off + i * nlm_: off + (i + 1) * nlm_], (1, 0))
+                for i, key in enumerate(
+                    ("i0", "i1", "v0", "v1", "flux0",
+                     "H", "Hold", "M", "Mirr", "dMdH"))}
 
         return TranOutput(
             out_x=jnp.zeros((b, 1, n), dtype=f64),

@@ -22,9 +22,11 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 STAGES = [
     ("solver A/B (22-deck sweep, XLA f64 vs Pallas df)",
      [sys.executable, "tests/tools/ab_solver.py", "all"]),
+    # the transient A/B runs BOTH fused engines (attempt-loop + whole-run
+    # kernel) per deck since round 5 — twice the compiles, longer stage
     ("fused transient A/B (12 compat decks + physics BE/trap incl. "
-     "nonlinear, general vs fused kernel)",
-     [sys.executable, "tests/tools/ab_fused_tran.py"]),
+     "nonlinear, general vs attempt-loop vs whole-run kernels)",
+     [sys.executable, "tests/tools/ab_fused_tran.py"], 4800),
     ("fused OP/DC A/B (nonlinear OP decks + DC sweep, general vs fused "
      "OP/Newton kernel)",
      [sys.executable, "tests/tools/ab_fused_op.py"]),
@@ -69,9 +71,11 @@ def main():
                           capture_output=True, text=True).stdout.strip()
     lines = [f"\n## TPU regression {stamp} @ {head}\n"]
     ok_all = True
-    for title, cmd in STAGES:
+    for stage in STAGES:
+        title, cmd = stage[0], stage[1]
+        timeout = stage[2] if len(stage) > 2 else 2400
         print(f"=== {title}", flush=True)
-        ok, tail = run_stage(title, cmd)
+        ok, tail = run_stage(title, cmd, timeout=timeout)
         ok_all &= ok
         print(tail, flush=True)
         status = "PASS" if ok else "FAIL"

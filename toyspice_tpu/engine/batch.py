@@ -50,14 +50,14 @@ def make_tran_batch(cc, cfg: TranConfig, in_axes,
     (the persistent compile cache hides the XLA compile, not tracing — a
     measured ~10x on the 8192-way benchmark).
 
-    Compat/BE circuits over R/C/L/V/I (+ diodes, whose Newton loop runs
-    inside the kernel) with store='none' route through the fused
-    transient-attempt Pallas kernel (ops/pallas_tran.py) when the Pallas
-    solver backend is active — one kernel per attempt instead of a solve
-    kernel plus XLA control ops.  TOYSPICE_TRAN=general|fused|auto overrides
-    the dispatch (auto = fused exactly when eligible on TPU).  ``params`` is
-    only consulted by the eligibility check (batched PWL knot tables are not
-    supported by the fused path)."""
+    Eligible circuits with store='none' route through the WHOLE-RUN fused
+    kernel (ops/pallas_run.py — the time loop itself in VMEM, one launch
+    per run); store='full'/stream/resume through the per-attempt kernel
+    (ops/pallas_tran.py); everything else through the general vmapped
+    engine.  TOYSPICE_TRAN=general|fused|auto overrides the family and
+    TOYSPICE_TRAN_RUN=off pins the attempt-loop kernel.  ``params`` is
+    only consulted by the eligibility checks (static per-deck device
+    gates vs batched overrides — see fused_ineligible_reason)."""
     engine, reason, fn = select_tran_engine(
         cc, cfg, in_axes, semantics=semantics, store=store, opts=opts,
         params=params, resume=resume)
